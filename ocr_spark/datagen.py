@@ -1,0 +1,320 @@
+"""Deterministic synthetic interleaved text+media corpus (FIXTURES.md).
+
+Generates, with a fixed seed and no external data:
+
+  documents_interleaved(doc_id string,
+                        spans array<struct<kind,text,media_ref,offset:int>>)
+  media_blobs(media_ref string, width int, height int,
+              pixels binary, ground_text string)
+  expected_spans(doc_id string,
+                 out_spans array<struct<kind,text,media_ref,order:int>>,
+                 codes array<string>)
+
+The expected table is the *golden oracle* for the north rule's
+span-sequence equality gate. Expected text for text spans is the payload
+the generator itself embedded (NOT produced by running the stripper, so the
+equality test is meaningful); expected text for media spans is the blob's
+ground_text (the renderer/recognizer pair in fonts.py is exactly
+invertible). Expected codes run the tiny inspectable voucher oracle
+(functions/voucher_core.py) over the in-order extracted texts, mirroring
+the reference pipeline order OCR text -> lines -> codes
+(/root/reference/src/ocr/cli.js:21-27, src/ocr/ocrQueue.js:45-61).
+
+Corpus knobs follow FIXTURES.md: ~60/40 text/media span mix, ~2%
+media-heavy skew documents (32-128 media spans), edge documents (empty
+spans, all-text, all-media, duplicate codes across offsets, banned codes,
+15/17-digit near-misses).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .fonts import render_text
+from .functions.boilerplate_core import strip_boilerplate
+from .functions.voucher_core import extract_voucher_codes
+
+SEED = 42
+
+_WORDS = (
+    "GRID VALUE TOKEN BATCH QUERY TABLE MERGE SCAN SORT JOIN GROUP WINDOW "
+    "STREAM CODE VOUCHER CARD GIFT BONUS PRIZE CLAIM REDEEM OFFER TOTAL "
+    "LINE ORDER PART ITEM UNIT PRICE DISCOUNT"
+).split()
+
+_SENTENCE_WORDS = (
+    "the quick analytics engine processes interleaved documents at scale "
+    "spark partitions shuffle broadcast join window aggregate collect "
+    "voucher codes appear within payload sentences for extraction tests "
+    "main content blocks carry meaningful long sentences unlike navigation"
+).split()
+
+
+def _code(rng: random.Random) -> str:
+    return "".join(str(rng.randrange(10)) for _ in range(16))
+
+
+def _spaced_code(code: str, rng: random.Random) -> str:
+    # 0-3 spaces between the four digit groups (regex allows \s*)
+    sep = rng.choice(["", " ", "  ", "   "])
+    return sep.join(code[i : i + 4] for i in range(0, 16, 4))
+
+
+def _sentence(rng: random.Random, min_words: int = 6, max_words: int = 14) -> str:
+    n = rng.randint(min_words, max_words)
+    return " ".join(rng.choice(_SENTENCE_WORDS) for _ in range(n))
+
+
+def _nav_block(rng: random.Random) -> str:
+    links = " ".join(
+        f'<a href="/{w.lower()}">{w.title()}</a>'
+        for w in rng.sample(_WORDS, rng.randint(3, 6))
+    )
+    return f"<nav>{links}</nav>"
+
+
+def _linkfarm_block(rng: random.Random) -> str:
+    # div (content-eligible tag) whose link density exceeds the threshold
+    links = " ".join(
+        f'<a href="/x/{w.lower()}">{w.lower()} {w.lower()}</a>'
+        for w in rng.sample(_WORDS, rng.randint(4, 7))
+    )
+    return f'<div class="related">{links}</div>'
+
+
+def _short_block(rng: random.Random) -> str:
+    return f"<div>{rng.choice(_WORDS).lower()}</div>"
+
+
+def make_text_span(rng: random.Random, codes: list[str]) -> tuple[str, str]:
+    """Return (raw_html_text, expected_extracted_text)."""
+    payload: list[str] = []
+    n_par = rng.randint(1, 4)
+    code_idx = 0
+    for _ in range(n_par):
+        s = _sentence(rng)
+        if code_idx < len(codes) and rng.random() < 0.9:
+            s = f"{s} code {_spaced_code(codes[code_idx], rng)} valid"
+            code_idx += 1
+        payload.append(s)
+    # leftover codes appended to the last paragraph
+    while code_idx < len(codes):
+        payload[-1] += f" extra {_spaced_code(codes[code_idx], rng)} end"
+        code_idx += 1
+    if rng.random() < 0.15:
+        # plain-text span: whole-span passthrough (no block tags);
+        # multi-space code separators survive here (regex \s* coverage)
+        raw = "\n".join(payload)
+        return raw, raw.strip()
+    # HTML branch: the stripper collapses runs of whitespace, so normalize
+    # the payload identically before embedding it (keeps the golden exact)
+    import re as _re
+    payload = [_re.sub(r"\s+", " ", p).strip() for p in payload]
+    parts = [
+        "<html><head><title>Synthetic Doc</title></head><body>",
+        _nav_block(rng),
+    ]
+    for p in payload:
+        parts.append(f"<p>{p}</p>")
+        if rng.random() < 0.3:
+            parts.append(_short_block(rng))
+    if rng.random() < 0.5:
+        parts.append(_linkfarm_block(rng))
+    parts.append(f"<footer><a href='/privacy'>Privacy</a> {_sentence(rng, 3, 5)}</footer>")
+    parts.append("</body></html>")
+    return "".join(parts), "\n".join(payload)
+
+
+def make_ground_text(rng: random.Random, codes: list[str]) -> str:
+    """Uppercase, font-alphabet-constrained text for a media blob."""
+    lines: list[str] = []
+    n_lines = rng.randint(1, 4)
+    code_idx = 0
+    for _ in range(n_lines):
+        words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(2, 5)))
+        if code_idx < len(codes):
+            grouped = " ".join(
+                codes[code_idx][i : i + 4] for i in range(0, 16, 4)
+            )
+            lines.append(f"{words} {grouped}")
+            code_idx += 1
+        else:
+            lines.append(words)
+    while code_idx < len(codes):
+        grouped = " ".join(codes[code_idx][i : i + 4] for i in range(0, 16, 4))
+        lines.append(f"CODE {grouped}")
+        code_idx += 1
+    return "\n".join(lines)
+
+
+def generate_corpus(n_docs: int, seed: int = SEED) -> dict[str, pa.Table]:
+    """Build the three tables as pyarrow Tables (columnar, no Spark)."""
+    rng = random.Random(seed)
+
+    # ---- media blob pool -------------------------------------------------
+    n_blobs = max(32, int(n_docs * 0.6))
+    blob_refs: list[str] = []
+    blob_rows = {"media_ref": [], "width": [], "height": [],
+                 "pixels": [], "ground_text": []}
+    blob_text: dict[str, str] = {}
+    for bi in range(n_blobs):
+        ref = f"img-{bi:08d}"
+        roll = rng.random()
+        if roll < 0.05:
+            # noise blob: sub-threshold speckle, no text
+            h, w = rng.randint(16, 48), rng.randint(16, 48)
+            noise = np.array(
+                [rng.randrange(0, 60) for _ in range(h * w)], dtype=np.uint8
+            ).reshape(h, w)
+            img, gt = noise, ""
+        else:
+            n_codes = 1 if rng.random() < 0.5 else 0
+            codes = [_code(rng) for _ in range(n_codes)]
+            gt = make_ground_text(rng, codes)
+            ink = rng.choice([255, 200, 160, 90])  # incl. low-contrast
+            img = render_text(gt, ink=ink)
+        blob_refs.append(ref)
+        blob_text[ref] = gt
+        blob_rows["media_ref"].append(ref)
+        blob_rows["width"].append(img.shape[1])
+        blob_rows["height"].append(img.shape[0])
+        blob_rows["pixels"].append(img.tobytes())
+        blob_rows["ground_text"].append(gt)
+
+    # ---- documents -------------------------------------------------------
+    doc_rows = {"doc_id": [], "spans": []}
+    exp_rows = {"doc_id": [], "out_spans": [], "codes": []}
+
+    banned = ["1234123412341234", "1234123422341234"]
+
+    for di in range(n_docs):
+        doc_id = f"doc-{di:08d}"
+        edge = di % 97  # deterministic edge-case slots
+        spans: list[dict] = []
+        expected: list[dict] = []
+
+        if edge == 0 and di > 0:
+            pass  # empty-spans document
+        elif edge == 1:
+            # all-media doc
+            for off in range(rng.randint(2, 5)):
+                ref = rng.choice(blob_refs)
+                spans.append({"kind": "media", "text": None,
+                              "media_ref": ref, "offset": off})
+                expected.append({"kind": "media", "text": blob_text[ref],
+                                 "media_ref": ref, "order": off})
+        elif edge == 2:
+            # duplicate + banned + near-miss codes across offsets
+            dup = _code(rng)
+            near15 = dup[:15]
+            near17 = dup + "9"
+            texts = [
+                f"first mention of the voucher {_spaced_code(dup, rng)} here today",
+                f"banned code {_spaced_code(banned[0], rng)} and also "
+                f"{_spaced_code(banned[1], rng)} must be dropped entirely",
+                f"repeat {_spaced_code(dup, rng)} and near miss {near15} "
+                f"plus overlong {near17} trailing words",
+            ]
+            for off, t in enumerate(texts):
+                spans.append({"kind": "text", "text": t,
+                              "media_ref": None, "offset": off})
+                expected.append({"kind": "text", "text": t.strip(),
+                                 "media_ref": None, "order": off})
+        else:
+            heavy = rng.random() < 0.02
+            if heavy:
+                n_media = rng.randint(32, 128)
+                n_text = rng.randint(0, 2)
+            else:
+                n_spans = rng.randint(2, 8)
+                n_text = max(1, round(n_spans * 0.6))
+                n_media = n_spans - n_text
+            kinds = ["text"] * n_text + ["media"] * n_media
+            rng.shuffle(kinds)
+            for off, kind in enumerate(kinds):
+                if kind == "text":
+                    n_codes = 1 if rng.random() < 0.3 else 0
+                    codes = [_code(rng) for _ in range(n_codes)]
+                    raw, exp_text = make_text_span(rng, codes)
+                    spans.append({"kind": "text", "text": raw,
+                                  "media_ref": None, "offset": off})
+                    expected.append({"kind": "text", "text": exp_text,
+                                     "media_ref": None, "order": off})
+                else:
+                    ref = rng.choice(blob_refs)
+                    spans.append({"kind": "media", "text": None,
+                                  "media_ref": ref, "offset": off})
+                    expected.append({"kind": "media", "text": blob_text[ref],
+                                     "media_ref": ref, "order": off})
+
+        doc_text = "\n".join(e["text"] for e in expected)
+        codes = extract_voucher_codes(doc_text)
+        doc_rows["doc_id"].append(doc_id)
+        doc_rows["spans"].append(spans)
+        exp_rows["doc_id"].append(doc_id)
+        exp_rows["out_spans"].append(expected)
+        exp_rows["codes"].append(codes)
+
+    span_type = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ])
+    out_span_type = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("order", pa.int32()),
+    ])
+    docs = pa.table({
+        "doc_id": pa.array(doc_rows["doc_id"], pa.string()),
+        "spans": pa.array(doc_rows["spans"], pa.list_(span_type)),
+    })
+    blobs = pa.table({
+        "media_ref": pa.array(blob_rows["media_ref"], pa.string()),
+        "width": pa.array(blob_rows["width"], pa.int32()),
+        "height": pa.array(blob_rows["height"], pa.int32()),
+        "pixels": pa.array(blob_rows["pixels"], pa.binary()),
+        "ground_text": pa.array(blob_rows["ground_text"], pa.string()),
+    })
+    expected_tbl = pa.table({
+        "doc_id": pa.array(exp_rows["doc_id"], pa.string()),
+        "out_spans": pa.array(exp_rows["out_spans"], pa.list_(out_span_type)),
+        "codes": pa.array(exp_rows["codes"], pa.list_(pa.string())),
+    })
+    return {"documents_interleaved": docs, "media_blobs": blobs,
+            "expected_spans": expected_tbl}
+
+
+# document-count knobs per FIXTURES.md section 6
+SF_DOCS = {0.001: 200, 0.01: 2000, 0.1: 20000}
+
+
+def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
+                 overwrite: bool = False) -> str:
+    """Write the three parquet tables under out_dir; returns out_dir.
+
+    Parquet is the local stand-in for Iceberg data files (no Iceberg
+    runtime jar ships in this sandbox); the snapshot/MERGE layer lives in
+    sources/snapstore.py.
+    """
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker) and not overwrite:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    tables = generate_corpus(n_docs, seed=seed)
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"n_docs={n_docs} seed={seed}\n")
+    return out_dir
+
+
+def corpus_dir(sf: float, base: str | None = None) -> str:
+    """Materialize (once) and return the corpus dir for a scale factor."""
+    base = base or os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "data", "interleaved")
+    out = os.path.join(base, f"sf{sf}")
+    return write_corpus(out, SF_DOCS.get(sf, int(200_000 * sf)), seed=SEED)

@@ -1,0 +1,34 @@
+"""Text branch: HTML boilerplate strip as an Arrow-batched pandas UDF.
+
+The semantics live in functions/boilerplate_core.py (pure, inspectable);
+this module is only the Spark plumbing. Batches arrive via Arrow
+(spark.sql.execution.arrow.pyspark.enabled), so Python cost is per-batch
+serialization + the unavoidable per-string regex work — there is no
+row-at-a-time Python UDF serialization (the input_hint's "no per-row
+Python" requirement).
+
+At 100 TB scale this UDF is embarrassingly parallel: it is a pure
+projection (no shuffle), so it runs inside the same stage as the parquet
+scan and inherits its partitioning. Column pruning matters more than
+anything here — the UDF touches only the `text` column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.boilerplate_core import strip_boilerplate
+
+
+@F.pandas_udf(T.StringType())
+def strip_boilerplate_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # iterator form: one-time per-worker setup would go here (none needed —
+    # the regexes in boilerplate_core are compiled at import, once per
+    # Python worker, mirroring the reference's shared-worker pattern at
+    # /root/reference/src/ocr/tesseract.js:13-29).
+    for series in batches:
+        yield series.map(strip_boilerplate, na_action="ignore").fillna("")

@@ -1,0 +1,108 @@
+"""Media branch: synthetic OCR as an Arrow-batched mapInPandas operator.
+
+Tesseract-style recognition re-expressed for Spark (north rule): per blob,
+binarize -> fixed-geometry line segmentation -> template character
+classification. The recognizer is a per-executor lazy singleton built once
+per Python worker process (iterator mapInPandas), mirroring the reference's
+shared Tesseract worker lifecycle (/root/reference/src/ocr/tesseract.js:13-47:
+init once, reuse across jobs, terminate at shutdown) — the canonical Spark
+pattern for amortizing heavy model init.
+
+Scale notes (100 TB):
+  * OCR runs on the *deduplicated blob set*, not per span — the pipeline
+    (operators/extraction.py) semi-joins blobs against distinct media_refs
+    first, so a blob referenced by 10^4 documents is recognized once.
+  * The operator is a mapInPandas projection: no shuffle of pixel data
+    beyond the pruning semi-join; output is (media_ref, text) — orders of
+    magnitude smaller than the input — so downstream joins move text, not
+    pixels.
+  * Within a batch, character classification is one vectorized Hamming
+    distance against the template matrix for ALL cells of ALL lines of one
+    image (numpy), not per-character Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..fonts import CHAR_PITCH, GLYPH_H, GLYPH_W, LINE_PITCH
+
+OCR_THRESHOLD = 64
+
+OCR_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+class _Recognizer:
+    """Executor-scoped singleton recognizer (template classifier)."""
+
+    _instance: "_Recognizer | None" = None
+    init_count = 0  # observable in tests: must be 1 per worker process
+
+    def __init__(self) -> None:
+        # import here so the template build cost is paid once per worker
+        from ..fonts import TEMPLATE_CHARS, TEMPLATE_MATRIX
+
+        self.template_matrix = TEMPLATE_MATRIX.astype(np.uint8)
+        self.template_chars = np.array(TEMPLATE_CHARS)
+        _Recognizer.init_count += 1
+
+    @classmethod
+    def get(cls) -> "_Recognizer":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def recognize(self, pixels: bytes, height: int, width: int) -> str:
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        binary = (img >= OCR_THRESHOLD).astype(np.uint8)
+        if binary.size == 0 or not binary.any():
+            return ""
+        n_lines = -(-height // LINE_PITCH)
+        n_cells = -(-width // CHAR_PITCH)
+        padded = np.zeros((n_lines * LINE_PITCH, n_cells * CHAR_PITCH),
+                          dtype=np.uint8)
+        padded[:height, :width] = binary
+        # (n_lines, n_cells, GLYPH_H, GLYPH_W) cell tensor, one reshape
+        cells = (
+            padded.reshape(n_lines, LINE_PITCH, n_cells, CHAR_PITCH)
+            .transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W]
+        )
+        flat = cells.reshape(n_lines * n_cells, GLYPH_H * GLYPH_W)
+        blank = ~flat.any(axis=1)
+        # vectorized Hamming distance to every template for every cell
+        dists = (flat[:, None, :] != self.template_matrix[None, :, :]).sum(axis=2)
+        chars = self.template_chars[np.argmin(dists, axis=1)]
+        chars[blank] = " "
+        grid = chars.reshape(n_lines, n_cells)
+        lines = ["".join(row).rstrip() for row in grid]
+        while lines and not lines[-1]:
+            lines.pop()
+        return "\n".join(lines)
+
+
+def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    recognizer = _Recognizer.get()  # singleton: init once per worker
+    for pdf in batches:
+        texts = [
+            recognizer.recognize(px, h, w)
+            for px, h, w in zip(pdf["pixels"], pdf["height"], pdf["width"])
+        ]
+        yield pd.DataFrame({"media_ref": pdf["media_ref"], "text": texts})
+
+
+def recognize_blobs(blobs: DataFrame) -> DataFrame:
+    """(media_ref, width, height, pixels) -> (media_ref, text).
+
+    Caller is responsible for pruning to needed refs first (left-semi join)
+    so recognition cost is O(distinct blobs), not O(spans).
+    """
+    cols = blobs.select("media_ref", "height", "width", "pixels")
+    return cols.mapInPandas(_ocr_batches, schema=OCR_OUTPUT_SCHEMA)
