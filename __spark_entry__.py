@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator family from SURVEY.md §2 (or a
+training-data-pipeline extension), implemented Spark-first in the
+``ocr_spark`` package; ``oracle_sql()`` carries the DuckDB twin. Column
+names and types are aligned on both sides (counts cast to BIGINT, floats
+rounded identically) because the driver hashes values after sorting
+columns by name.
+
+Numeric discipline: every float aggregate is rounded on BOTH sides;
+dot products are left-fold double sums on both sides (bit-identical,
+verified — see ocr_spark/operators/similarity.py docstring).
 """
 
 from __future__ import annotations
@@ -12,27 +17,660 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship entry: interleaved extraction over the driver's documents table
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap sf0.001 documents as interleaved docs and run the
+    full extraction pipeline (posexplode -> strip -> codes -> order-exact
+    reassembly). Media branch exercised with an empty blob table here; the
+    full media path runs in bench.py/tests on the synthetic corpus."""
+    from pyspark.sql import types as T
+
+    from ocr_spark.operators.extraction import run_extraction
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    blob_schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ])
+    blobs = spark.createDataFrame([], blob_schema)
+    return run_extraction(docs, blobs)
+
+
+# --------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.2-2.7)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def a7_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= "1995-01-01")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def j3_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def j1_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def j4_positional_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional pairing (reference golden left/right pairs,
+    /root/reference/test/fixtures/expected.json): i-th view joined with
+    i-th click per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", "rn", F.col("event_id").alias("view_event_id"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", "rn", F.col("event_id").alias("click_event_id"))
+    )
+    return views.join(clicks, ["user_id", "rn"]).select(
+        "user_id",
+        F.col("rn").cast("long").alias("pair_no"),
+        "view_event_id",
+        "click_event_id",
+    )
+
+
+def w1_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def a5_event_seq_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving group concat (reference section-merge,
+    /root/reference/src/ocr/easyocr_impl.py:183-196): explicit sort_array
+    over (ts, event_id) — never shuffle-order luck."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("event_seq"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def a8_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def u4_viewers_minus_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.exceptAll(buyers)
+
+
+def p1_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered line/token split (reference split-trim-filter,
+    /root/reference/src/ocr/cli.js:21-27) with position preserved."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    ).filter(F.length("token") > 0).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    )
+
+
+def p6_contains_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").like("%window%")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def f_hash_surrogates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha256 / short-id derivation (reference JsonDB + URL-cache
+    keying, /root/reference/src/database/jsonDb.py:21-27, src/ocr/cli.py:79,
+    src/utils/express-utils.js:13-22)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_name"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_name"),
+        F.substring(F.md5("c_name"), 1, 5).alias("short_id"),
+    )
+
+
+def f1_voucher_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voucher regex + normalize + length filter over synthesized order
+    texts (semantics of /root/reference/src/shared/extractVoucherCodes.js:
+    10-27); ~20% of rows carry a 15-digit near-miss that must NOT match."""
+    from ocr_spark.functions.vouchers import codes_from_text
+
+    orders = _t(spark, sf_dir, "orders")
+    padded = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
+    spaced = F.concat_ws(
+        " ",
+        F.substring(padded, 1, 4),
+        F.substring(padded, 5, 4),
+        F.substring(padded, 9, 4),
+        F.substring(padded, 13, 4),
+    )
+    near_miss = F.lpad(F.col("o_orderkey").cast("string"), 15, "0")
+    text = F.when(
+        F.col("o_orderkey") % 10 < 2,
+        F.concat(F.lit("pay code "), near_miss, F.lit(" thanks")),
+    ).otherwise(F.concat(F.lit("pay code "), spaced, F.lit(" thanks")))
+    return (
+        orders.select("o_orderkey", codes_from_text(text).alias("codes"))
+        .select("o_orderkey", F.explode("codes").alias("code"))
+    )
+
+
+def s5_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("net_price"),
+        )
+    )
+
+
+def f11_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# --------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: deduplication
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents UNION ALL documents (every doc has
+    exactly one duplicate -> n_dups=2, keeper = doc_id)."""
+    from ocr_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs)
+    return exact_dedup(doubled, "doc_id", "text")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (scale path). No SQL oracle —
+    hash-family semantics aren't ANSI-SQL-expressible; correctness is
+    pytest-checked against exact Jaccard (tests/test_dedup.py)."""
+    from ocr_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.9
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check; pytest-verified vs exact
+    Jaccard overlap)."""
+    from ocr_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: similarity search
+# --------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [1, 2, 3, 4, 5]
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (sublinear scale path). Rows-only check; recall
+    vs the exact baseline is pytest-verified (tests/test_similarity.py)."""
+    from ocr_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=10, num_planes=8)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_revenue_by_nation": q3_revenue_by_nation,
+        "a7_priority_count": a7_priority_count,
+        "j3_semi_customers_with_orders": j3_semi_customers_with_orders,
+        "j1_anti_customers_without_orders": j1_anti_customers_without_orders,
+        "j4_positional_pairs": j4_positional_pairs,
+        "w1_first_event_per_user_type": w1_first_event_per_user_type,
+        "a5_event_seq_concat": a5_event_seq_concat,
+        "a8_event_stats": a8_event_stats,
+        "u4_viewers_minus_purchasers": u4_viewers_minus_purchasers,
+        "p1_token_explode": p1_token_explode,
+        "p6_contains_search": p6_contains_search,
+        "f_hash_surrogates": f_hash_surrogates,
+        "f1_voucher_extract_synth": f1_voucher_extract_synth,
+        "s5_scan_filter_project": s5_scan_filter_project,
+        "f11_json_props": f11_json_props,
+        "text_token_count": text_token_count,
+        "text_quality_score": text_quality_score,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "emb_neardup_pairs": emb_neardup_pairs,
+        "ann_lsh_topk": ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the pre-registered parquet views)
+# --------------------------------------------------------------------------
+
+_EN = r"\b(the|a|and|of|to|for|at|is|in)\b"
+_DE = r"\b(der|die|das|und|ist|nicht|ein)\b"
+_FR = r"\b(le|la|les|et|est|une|des)\b"
+_PUNCT = r"[^A-Za-z0-9\s]"
+_VOUCHER = r"\b\d{4}\s*\d{4}\s*\d{4}\s*\d{4}\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "a7_priority_count": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            GROUP BY o_orderpriority
+        """,
+        "j3_semi_customers_with_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j1_anti_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j4_positional_pairs": """
+            WITH v AS (
+              SELECT user_id, event_id AS view_event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'view'
+            ), c AS (
+              SELECT user_id, event_id AS click_event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, v.rn AS pair_no, view_event_id, click_event_id
+            FROM v JOIN c ON v.user_id = c.user_id AND v.rn = c.rn
+        """,
+        "w1_first_event_per_user_type": """
+            SELECT user_id, event_type, event_id, ts FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "a5_event_seq_concat": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "a8_event_stats": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "u4_viewers_minus_purchasers": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "p1_token_explode": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id, i - 1 AS pos, toks[i] AS token
+            FROM t, UNNEST(generate_series(1, len(toks))) AS s(i)
+            WHERE length(toks[i]) > 0
+        """,
+        "p6_contains_search": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE text LIKE '%window%'
+        """,
+        "f_hash_surrogates": """
+            SELECT c_custkey, md5(c_name) AS md5_name,
+                   sha256(c_name) AS sha256_name,
+                   substring(md5(c_name), 1, 5) AS short_id
+            FROM customer
+        """,
+        "f1_voucher_extract_synth": rf"""
+            WITH t AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 < 2
+                          THEN 'pay code ' || lpad(CAST(o_orderkey AS VARCHAR), 15, '0') || ' thanks'
+                          ELSE 'pay code ' ||
+                               substring(lpad(CAST(o_orderkey AS VARCHAR), 16, '0'), 1, 4) || ' ' ||
+                               substring(lpad(CAST(o_orderkey AS VARCHAR), 16, '0'), 5, 4) || ' ' ||
+                               substring(lpad(CAST(o_orderkey AS VARCHAR), 16, '0'), 9, 4) || ' ' ||
+                               substring(lpad(CAST(o_orderkey AS VARCHAR), 16, '0'), 13, 4) || ' thanks'
+                     END AS text
+              FROM orders
+            ), m AS (
+              SELECT o_orderkey,
+                     unnest(regexp_extract_all(text, '{_VOUCHER}')) AS raw
+              FROM t
+            )
+            SELECT o_orderkey, regexp_replace(raw, '\s+', '', 'g') AS code
+            FROM m
+            WHERE length(regexp_replace(raw, '\s+', '', 'g')) = 16
+              AND regexp_replace(raw, '\s+', '', 'g') NOT IN
+                  ('1234123412341234', '1234123422341234')
+        """,
+        "s5_scan_filter_project": """
+            SELECT l_orderkey, l_partkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 2) AS net_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_quantity > 25
+        """,
+        "f11_json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "text_quality_score": rf"""
+            SELECT doc_id,
+                   round(
+                     least((CAST(len(regexp_extract_all(lower(text), '{_EN}')) AS DOUBLE)
+                            / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) / 0.25,
+                           1.0) * 0.4
+                     + (1.0 - CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+                     + least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0,
+                             1.0) * 0.3,
+                   4) AS quality
+            FROM documents
+        """,
+        "text_lang_id": rf"""
+            SELECT doc_id,
+                   CASE
+                     WHEN len(regexp_extract_all(lower(text), '{_EN}')) = 0
+                      AND len(regexp_extract_all(lower(text), '{_DE}')) = 0
+                      AND len(regexp_extract_all(lower(text), '{_FR}')) = 0 THEN 'und'
+                     WHEN len(regexp_extract_all(lower(text), '{_EN}')) >= len(regexp_extract_all(lower(text), '{_DE}'))
+                      AND len(regexp_extract_all(lower(text), '{_EN}')) >= len(regexp_extract_all(lower(text), '{_FR}')) THEN 'en'
+                     WHEN len(regexp_extract_all(lower(text), '{_DE}')) >= len(regexp_extract_all(lower(text), '{_FR}')) THEN 'de'
+                     ELSE 'fr'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            WITH doubled AS (
+              SELECT * FROM documents UNION ALL SELECT * FROM documents
+            )
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_dups
+            FROM doubled GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in generate_series(1, len(w) - 2)]) AS shingles
+              FROM toks WHERE len(w) >= 3
+            ), e AS (
+              SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS common,
+                     any_value(a.n) AS n_a, any_value(b.n) AS n_b
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, common, n_a, n_b,
+                   round(common / (n_a + n_b - common), 4) AS jaccard
+            FROM pairs
+            WHERE common / (n_a + n_b - common) >= 0.9
+        """,
+        "ann_cosine_topk": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+              FROM base WHERE vec_id IN (1, 2, 3, 4, 5)
+            ), scored AS (
+              SELECT q.query_id, b.vec_id AS neighbor_id,
+                     round(list_dot_product(b.vec, q.qvec) / (b.norm * q.qnorm), 6) AS cos_sim
+              FROM base b, q WHERE b.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "emb_neardup_pairs": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cos_sim
+            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.9
+        """,
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk: intentionally no
+        # SQL oracle (hash-family semantics); driver records rows-only,
+        # pytest verifies against exact baselines.
+    }

@@ -1,0 +1,273 @@
+"""Deduplication operators for large-scale text corpora.
+
+Exact (hash groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(banded signature bucketing — the scale path), and SimHash (bit-sliced
+fingerprints). All are pure DataFrame ops; nothing leaves the JVM.
+
+Scale notes:
+  * exact/fingerprint dedup is one shuffle on a 32-hex key — trivially
+    balanced.
+  * ngram_jaccard_pairs is the O(pairs-sharing-a-shingle) exact method:
+    correct but quadratic against near-identical clusters; it is the
+    *oracle* for the sublinear methods and should only run on samples or
+    small SFs at 100 TB.
+  * minhash_lsh_candidates is the production path: k minhashes, b bands —
+    candidate generation cost is O(docs * b) shuffle rows and never
+    materializes the full pair matrix. Hot shingles do not skew it because
+    signatures aggregate per-doc before banding.
+  * simhash buckets by 16-bit prefix bands; verification is bit_count(xor)
+    on 64-bit fingerprints — cheap enough to run on all candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import WS_SPLIT, fingerprint
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by normalized-text fingerprint; keep the smallest id.
+
+    Returns (fp, keeper_id, n_dups).
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    Docs with fewer than n tokens produce no rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"),
+    )
+    grams = toks.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("w") >= n)
+    return grams.select("id", F.explode("shingles").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle self-join.
+
+    Returns (id_a, id_b, common, n_a, n_b, jaccard) with id_a < id_b and
+    jaccard >= threshold. Quadratic in cluster size — the oracle method.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingle_rows: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length num_hashes.
+
+    Hash family: xxhash64(seed_i, shingle) — deterministic, JVM-side.
+    One groupBy(doc) aggregation; hot shingles never skew a join because
+    signatures reduce per-doc (map-side partial min).
+    """
+    hashes = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingle_rows.groupBy("id").agg(*hashes)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs (the 100 TB path).
+
+    Signature of num_hashes minhashes, split into `bands` bands of
+    num_hashes/bands rows; docs sharing any band-hash become candidates;
+    candidates are scored by estimated Jaccard (fraction of matching
+    minhashes) and filtered at `threshold`.
+
+    Returns (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+
+    banded = sig.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature",
+                                bi * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    ).select("id", "signature", "band", "band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(est >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash long).
+
+    Token hashes vote per bit; fingerprint bit j is 1 iff the weighted sum
+    of bit-j votes is positive. Entirely Catalyst expressions: explode ->
+    64 conditional sums -> bit pack.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_SPLIT)).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    packed = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select("id", packed.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band by 16-bit slices (a pair within
+    hamming distance <= 3 must agree exactly on at least one of 4 slices),
+    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    slice_width = 64 // prefix_bands
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * slice_width)
+                    .bitwiseAND(F.lit((1 << slice_width) - 1))
+                    for i in range(prefix_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,123 @@
+"""Semantic checks for the sublinear dedup/similarity paths against their
+exact baselines (these are the ops the driver can only rows-only check)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ocr_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted near-duplicate clusters."""
+    rng = random.Random(7)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    base_texts = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(60)]
+        base_texts.append(words)
+        rows.append((i, " ".join(words)))
+    # near-dups: copy with 1-2 word edits
+    for j in range(20):
+        src = base_texts[j]
+        mutated = list(src)
+        for _ in range(rng.randint(1, 2)):
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        rows.append((100 + j, " ".join(mutated)))
+    # one exact duplicate
+    rows.append((999, rows[0][1]))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_duplicate(docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    dup_groups = out.filter(F.col("n_dups") > 1).collect()
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keeper_id"] == 0
+    assert dup_groups[0]["n_dups"] == 2
+
+
+def test_minhash_lsh_vs_exact_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.7
+        ).collect()
+    }
+    assert len(exact) >= 15, "planted near-dups must be found by the oracle"
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
+            threshold=0.7,
+        ).collect()
+    }
+    # recall of strong pairs (true jaccard >= 0.85) must be high
+    strong = {p for p, j in exact.items() if j >= 0.85}
+    found = strong & set(approx)
+    assert len(found) >= 0.8 * len(strong), (len(found), len(strong))
+    # estimates should be in the right ballpark for found pairs
+    for p in found:
+        assert abs(approx[p] - exact[p]) < 0.25, (p, approx[p], exact[p])
+
+
+def test_simhash_finds_exact_and_near_duplicates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert (0, 999) in pairs and pairs[(0, 999)] == 0, "exact dup -> distance 0"
+    # near-dups (1-2 word edits in 60 words) should mostly sit close
+    near = [p for p in pairs if p[0] < 40 and p[1] >= 100 and p[1] - 100 == p[0]]
+    assert len(near) >= 12, f"only {len(near)} of 20 near-dups within r=10"
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    rng = random.Random(3)
+    # clustered vectors so LSH buckets are meaningful
+    rows = []
+    for i in range(200):
+        center = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        vec = [
+            c + rng.gauss(0, 0.15) for c in center for _ in range(8)
+        ]  # 16-dim
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    qids = [0, 1, 2, 3]
+    exact = cosine_topk(emb, "vec_id", "embedding", qids, k=10).collect()
+    approx = lsh_topk(
+        emb, "vec_id", "embedding", qids, k=10, num_planes=4
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # approx sims must be exact cosine values (no approximation in scoring)
+    exact_map = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert exact_map[key] == r["cos_sim"]

@@ -1,0 +1,94 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle must match DuckDB row-for-row (order-insensitive, columns
+aligned by name) at sf0.001. The driver runs the same at sf0.01."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    res = duck.sql(entry_mod.oracle_sql()[name])
+    duck_cols = list(res.columns)
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    got = _normalize(spark_rows, spark_cols)
+    want = _normalize(duck_rows, duck_cols)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    diffs = [
+        (g, w) for g, w in zip(got, want) if g != w
+    ]
+    assert not diffs, f"{name}: {len(diffs)} row diffs; first: {diffs[0]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    df.limit(5).collect()  # materializes the plan end-to-end
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "out_spans", "codes"}
