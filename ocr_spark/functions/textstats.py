@@ -38,7 +38,10 @@ def char_count(text: Column | str) -> Column:
 
 
 def punct_count(text: Column | str) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), 0))
+    # every match is a single char, so count = chars removed; this avoids
+    # materializing one array element per punctuation char (regexp_extract_all
+    # was ~50x slower on long documents — same value, see DuckDB oracle)
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
 
 
 def stopword_count(text: Column | str, lang: str = "en") -> Column:
