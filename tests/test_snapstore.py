@@ -1,0 +1,138 @@
+"""Snapshot store: MERGE semantics, time travel, CoW pruning, resume."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.datagen import generate_corpus  # noqa: E402
+from ocr_spark.operators.resumable import run_extraction_resumable  # noqa: E402
+from ocr_spark.sources.snapstore import SnapshotTable  # noqa: E402
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, tags array<string>")
+
+
+def test_merge_insert_update_and_timetravel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=4)
+    assert t.read(spark) is None
+
+    v1 = t.merge_upsert(_df(spark, [("a", 1, ["x"]), ("b", 2, ["y"])]))
+    v2 = t.merge_upsert(
+        _df(spark, [("b", 20, ["z"]), ("c", 3, ["w"])]),
+        merge_exprs={"tags": lambda old, new: F.array_union(old, new)},
+    )
+    assert (v1, v2) == (1, 2)
+
+    now = {r["k"]: (r["v"], r["tags"]) for r in t.read(spark).collect()}
+    assert now == {"a": (1, ["x"]), "b": (20, ["y", "z"]), "c": (3, ["w"])}
+
+    # time travel: v1 unchanged
+    past = {r["k"]: r["v"] for r in t.read(spark, version=1).collect()}
+    assert past == {"a": 1, "b": 2}
+
+
+def test_merge_handles_null_values_on_matched_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=2)
+    t.merge_upsert(_df(spark, [("a", None, None)]))
+    t.merge_upsert(_df(spark, [("a", 5, None)]))
+    rows = t.read(spark).collect()
+    assert rows[0]["v"] == 5 and rows[0]["tags"] is None
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=8)
+    base = spark.range(200).select(
+        F.concat(F.lit("k"), "id").alias("k"),
+        F.col("id").cast("int").alias("v"),
+        F.array(F.lit("t")).alias("tags"),
+    )
+    t.merge_upsert(base)
+    m1 = t._manifest(1)
+    assert len(m1) > 1  # data actually spread over buckets
+
+    t.merge_upsert(_df(spark, [("k7", 777, ["u"])]))
+    m2 = t._manifest(2)
+    changed = [b for b in m1 if m1[b] != m2.get(b)]
+    assert len(changed) == 1  # exactly the bucket containing k7
+    # untouched buckets carried over by file reference, not rewritten
+    assert all(m2[b] == m1[b] for b in m1 if b not in changed)
+
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got["k7"] == 777 and got["k8"] == 8 and len(got) == 200
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "log"))  # append-only, no key
+    df = spark.createDataFrame([("run1", 10)], "tag string, n int")
+    t.append(df)
+    t.append(spark.createDataFrame([("run2", 20)], "tag string, n int"))
+    rows = sorted((r["tag"], r["n"]) for r in t.read(spark).collect())
+    assert rows == [("run1", 10), ("run2", 20)]
+    assert t.versions() == [1, 2]
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    tables = generate_corpus(n_docs=60, seed=7)
+    docs = spark.createDataFrame(tables["documents_interleaved"].to_pandas())
+    blobs = spark.createDataFrame(tables["media_blobs"].to_pandas())
+    expected = spark.createDataFrame(tables["expected_spans"].to_pandas())
+    return docs, blobs, expected
+
+
+def test_resume_skips_committed_docs(spark, tmp_path, tiny_corpus):
+    docs, blobs, expected = tiny_corpus
+    results = SnapshotTable(str(tmp_path / "results"), key_col="doc_id",
+                            n_buckets=4)
+    audit = SnapshotTable(str(tmp_path / "audit"))
+
+    # run 1: first half only (simulates a job killed mid-corpus)
+    half = docs.filter(F.col("doc_id") < "doc-00000030")
+    s1 = run_extraction_resumable(half, blobs, results, audit)
+    assert s1["n_processed"] == 30 and s1["n_skipped"] == 0
+
+    # run 2: full input -> must process ONLY the uncommitted half
+    s2 = run_extraction_resumable(docs, blobs, results, audit)
+    assert s2["n_processed"] == 30 and s2["n_skipped"] == 30
+    assert s2["results_version"] == 2
+
+    # run 3: nothing left to do
+    s3 = run_extraction_resumable(docs, blobs, results, audit)
+    assert s3["n_processed"] == 0 and s3["n_skipped"] == 60
+
+    # final state equals the golden span sequences exactly
+    def _canon(df):
+        spans = F.transform(
+            "out_spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].cast("int").alias("order"),
+            ),
+        )
+        return df.select(
+            "doc_id", F.to_json(F.struct(spans.alias("out_spans"), "codes")).alias("p")
+        )
+
+    final = results.read(spark)
+    canon = _canon(final)
+    gold = _canon(expected)
+    assert canon.exceptAll(gold).count() == 0
+    assert gold.exceptAll(canon).count() == 0
+
+    # audit carries per-partition lineage for both productive runs
+    audit_rows = audit.read(spark).collect()
+    assert sum(r["n_docs"] for r in audit_rows) == 60
+    versions = {r["results_version"] for r in audit_rows}
+    assert versions == {1, 2}
+    for r in audit_rows:
+        assert r["phase"] == "extract"
+        assert r["min_doc_id"] <= r["max_doc_id"]
