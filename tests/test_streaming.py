@@ -1,0 +1,133 @@
+"""Streaming pipeline: file-source queue, exactly-once replay, watermark."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.datagen import generate_corpus  # noqa: E402
+from ocr_spark.sources.snapstore import SnapshotTable  # noqa: E402
+from ocr_spark.streaming.pipeline import (  # noqa: E402
+    read_document_stream,
+    stream_extraction,
+    windowed_code_rate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(n_docs=40, seed=11)
+
+
+def _drop_batch(tables, inbox: str, name: str, lo: int, hi: int) -> None:
+    """Write docs [lo, hi) as one parquet file into the inbox dir."""
+    docs = tables["documents_interleaved"].slice(lo, hi - lo)
+    os.makedirs(inbox, exist_ok=True)
+    pq.write_table(docs, os.path.join(inbox, f"{name}.parquet"))
+
+
+def test_stream_extraction_incremental_and_exactly_once(
+    spark, tmp_path, corpus
+):
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    results = SnapshotTable(str(tmp_path / "results"), key_col="doc_id",
+                            n_buckets=4)
+    audit = SnapshotTable(str(tmp_path / "audit"))
+    blobs = spark.createDataFrame(corpus["media_blobs"].to_pandas())
+    expected = spark.createDataFrame(corpus["expected_spans"].to_pandas())
+
+    # two job drops arrive before the first trigger
+    _drop_batch(corpus, inbox, "drop1", 0, 15)
+    _drop_batch(corpus, inbox, "drop2", 15, 30)
+    q = stream_extraction(
+        read_document_stream(spark, inbox, max_files_per_trigger=1),
+        blobs, results, audit, ckpt,
+    )
+    q.awaitTermination(120)
+    n1 = results.read(spark).count()
+    assert n1 == 30
+
+    # a third drop after the first run: restart from the SAME checkpoint
+    # processes only the new file (queue semantics, no reprocessing)
+    _drop_batch(corpus, inbox, "drop3", 30, 40)
+    q2 = stream_extraction(
+        read_document_stream(spark, inbox), blobs, results, audit, ckpt,
+    )
+    q2.awaitTermination(120)
+    final = results.read(spark)
+    assert final.count() == 40
+
+    # replayed drop (same docs re-delivered as a new file) is absorbed by
+    # the idempotent MERGE: at-least-once delivery, exactly-once results
+    _drop_batch(corpus, inbox, "drop3-redelivered", 30, 40)
+    q3 = stream_extraction(
+        read_document_stream(spark, inbox), blobs, results, audit, ckpt,
+    )
+    q3.awaitTermination(120)
+    assert results.read(spark).count() == 40
+
+    # span-sequence equality against the golden corpus
+    def _canon(df):
+        spans = F.transform(
+            "out_spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].cast("int").alias("order"),
+            ),
+        )
+        return df.select(
+            "doc_id",
+            F.to_json(F.struct(spans.alias("out_spans"), "codes")).alias("p"),
+        )
+
+    assert _canon(results.read(spark)).exceptAll(_canon(expected)).count() == 0
+
+    # audit carries per-micro-batch lineage (>= 3 productive batches)
+    audit_rows = audit.read(spark).collect()
+    assert {r["phase"] for r in audit_rows} == {"stream"}
+    assert len({r["batch_id"] for r in audit_rows}) >= 3
+
+
+def test_windowed_code_rate_batch_and_stream_same_plan(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch_out = windowed_code_rate(ev, window="1 hour", group_col="event_type")
+    rows = batch_out.limit(5).collect()
+    assert {c for c in batch_out.columns} == {
+        "window_start", "window_end", "event_type", "n_events", "sum_value"
+    }
+    assert all(r["n_events"] >= 1 for r in rows)
+
+    # same operator over a stream: watermark + append mode must be legal
+    # (file source requires a directory)
+    import shutil
+
+    ev_dir = str(tmp_path / "events_inbox")
+    os.makedirs(ev_dir)
+    shutil.copy(f"{SF_DIR}/events.parquet", ev_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    out = windowed_code_rate(stream, window="1 hour", group_col="event_type")
+    sink = str(tmp_path / "win_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a single
+    # finite batch the watermark ends at max(ts) - 30min, so just assert the
+    # sink materialized with the right schema
+    got = spark.read.schema(out.schema).parquet(sink)
+    assert got.count() >= 0
