@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -65,7 +66,7 @@ def _spaced_code(code: str, rng: random.Random) -> str:
     return sep.join(code[i : i + 4] for i in range(0, 16, 4))
 
 
-def _sentence(rng: random.Random, min_words: int = 6, max_words: int = 14) -> str:
+def _sentence(rng: random.Random, min_words: int = 10, max_words: int = 28) -> str:
     n = rng.randint(min_words, max_words)
     return " ".join(rng.choice(_SENTENCE_WORDS) for _ in range(n))
 
@@ -92,9 +93,15 @@ def _short_block(rng: random.Random) -> str:
 
 
 def make_text_span(rng: random.Random, codes: list[str]) -> tuple[str, str]:
-    """Return (raw_html_text, expected_extracted_text)."""
+    """Return (raw_html_text, expected_extracted_text).
+
+    Sized like real web extraction input (KBs of markup per span, most of
+    it boilerplate) so per-doc CPU work dominates scheduling overhead in
+    benchmarks — a 400-byte toy doc measures Spark's stage latency, not
+    the pipeline.
+    """
     payload: list[str] = []
-    n_par = rng.randint(1, 4)
+    n_par = rng.randint(3, 10)
     code_idx = 0
     for _ in range(n_par):
         s = _sentence(rng)
@@ -121,10 +128,14 @@ def make_text_span(rng: random.Random, codes: list[str]) -> tuple[str, str]:
     ]
     for p in payload:
         parts.append(f"<p>{p}</p>")
-        if rng.random() < 0.3:
+        if rng.random() < 0.5:
             parts.append(_short_block(rng))
+        if rng.random() < 0.3:
+            parts.append(_linkfarm_block(rng))
     if rng.random() < 0.5:
         parts.append(_linkfarm_block(rng))
+    for _ in range(rng.randint(1, 4)):
+        parts.append(_nav_block(rng))
     parts.append(f"<footer><a href='/privacy'>Privacy</a> {_sentence(rng, 3, 5)}</footer>")
     parts.append("</body></html>")
     return "".join(parts), "\n".join(payload)
@@ -133,10 +144,10 @@ def make_text_span(rng: random.Random, codes: list[str]) -> tuple[str, str]:
 def make_ground_text(rng: random.Random, codes: list[str]) -> str:
     """Uppercase, font-alphabet-constrained text for a media blob."""
     lines: list[str] = []
-    n_lines = rng.randint(1, 4)
+    n_lines = rng.randint(2, 7)
     code_idx = 0
     for _ in range(n_lines):
-        words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(2, 5)))
+        words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(3, 8)))
         if code_idx < len(codes):
             grouped = " ".join(
                 codes[code_idx][i : i + 4] for i in range(0, 16, 4)
@@ -157,7 +168,9 @@ def generate_corpus(n_docs: int, seed: int = SEED) -> dict[str, pa.Table]:
     rng = random.Random(seed)
 
     # ---- media blob pool -------------------------------------------------
-    n_blobs = max(32, int(n_docs * 0.6))
+    # pool grows sublinearly past 100k docs: at web scale hot media is
+    # shared across many documents (the semi-join dedup is the point)
+    n_blobs = max(32, min(int(n_docs * 0.3), 30000 + int(n_docs * 0.03)))
     blob_refs: list[str] = []
     blob_rows = {"media_ref": [], "width": [], "height": [],
                  "pixels": [], "ground_text": []}
@@ -293,22 +306,48 @@ SF_DOCS = {0.001: 200, 0.01: 2000, 0.1: 20000}
 
 
 def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
-                 overwrite: bool = False) -> str:
-    """Write the three parquet tables under out_dir; returns out_dir.
+                 overwrite: bool = False, shards: int | None = None,
+                 row_group_size: int = 256) -> str:
+    """Write the three tables as sharded parquet directories; returns out_dir.
 
     Parquet is the local stand-in for Iceberg data files (no Iceberg
     runtime jar ships in this sandbox); the snapshot/MERGE layer lives in
     sources/snapstore.py.
+
+    Each table is a DIRECTORY of `shards` files with small row groups —
+    the shape a real 100 TB Iceberg table has (many data files), and what
+    lets Spark's file-split planner hand every core work at bench scale.
+    A single-file single-row-group table silently serializes the whole
+    scan (and every map-side UDF stage) onto one task.
     """
+    shards = shards or min(128, max(8, n_docs // 128))
+    stamp = f"n_docs={n_docs} seed={seed} fmt=3 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
-    if os.path.exists(marker) and not overwrite:
-        return out_dir
+    if not overwrite and os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == stamp:
+                return out_dir
     os.makedirs(out_dir, exist_ok=True)
     tables = generate_corpus(n_docs, seed=seed)
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.isfile(dest):
+            os.remove(dest)  # pre-fmt2 single-file layout
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest)
+        n = tbl.num_rows
+        per = -(-n // shards)
+        for i in range(shards):
+            part = tbl.slice(i * per, per)
+            if part.num_rows == 0:
+                break
+            pq.write_table(
+                part,
+                os.path.join(dest, f"part-{i:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
     with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(f"n_docs={n_docs} seed={seed}\n")
+        fh.write(stamp)
     return out_dir
 
 

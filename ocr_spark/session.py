@@ -43,9 +43,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", driver_memory
-                or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-bench stand-in for cluster scan parallelism: our whole sf0.1
+        # corpus is ~20 MB, so the production default (128 MB/split) would
+        # plan ONE scan task and serialize every map-side UDF stage. At
+        # 100 TB the default yields ~10^6 splits and these knobs are a
+        # no-op; here they keep splits >= cores so scaling is measurable.
+        .config("spark.sql.files.maxPartitionBytes", "524288")
+        .config("spark.sql.files.openCostInBytes", "65536")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
