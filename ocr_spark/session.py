@@ -32,9 +32,17 @@ def get_spark(
     master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores in ("*",) else max(int(cores), 4)
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Pre-size + pre-touch the heap: local-mode measurements showed
+        # multi-second allocation-growth stalls (run times 3s..80s for the
+        # identical plan) when the heap grows under churn; -Xms fixes the
+        # variance. On a real cluster the same goes in
+        # spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -42,17 +50,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", driver_memory
-                or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Local-bench stand-in for cluster scan parallelism: our whole sf0.1
-        # corpus is ~20 MB, so the production default (128 MB/split) would
-        # plan ONE scan task and serialize every map-side UDF stage. At
-        # 100 TB the default yields ~10^6 splits and these knobs are a
-        # no-op; here they keep splits >= cores so scaling is measurable.
-        .config("spark.sql.files.maxPartitionBytes", "524288")
-        .config("spark.sql.files.openCostInBytes", "65536")
+        # Local-bench stand-in for cluster scan parallelism: the sf0.1
+        # corpus is a few hundred MB, so the production default
+        # (128 MB/split) would plan a handful of scan tasks and starve the
+        # map-side UDF stages. At 100 TB the default yields ~10^6 splits
+        # and these knobs are a no-op; here they keep splits >= cores so
+        # scaling is measurable.
+        .config("spark.sql.files.maxPartitionBytes", "4194304")
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
