@@ -93,11 +93,16 @@ def extract_spans(
     media_spans = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "kind", "media_ref"
     )
+    # broadcast both small sides explicitly: `needed` is a distinct-ref set
+    # and `recognized` is (media_ref, short text) — without the hints Spark
+    # may plan sort-merge joins that SHUFFLE PIXEL BYTES (observed: a
+    # 32-partition exchange of the blob table at sf1.0). Pixels must never
+    # leave their scan stage.
     needed = media_spans.select("media_ref").distinct()
-    pruned = blobs.join(needed, "media_ref", "left_semi")
+    pruned = blobs.join(F.broadcast(needed), "media_ref", "left_semi")
     recognized = recognize_blobs(pruned)
     media_out = (
-        media_spans.join(recognized, "media_ref", "left")
+        media_spans.join(F.broadcast(recognized), "media_ref", "left")
         .select(
             "doc_id", "offset", "kind",
             F.coalesce("text", F.lit("")).alias("text"),

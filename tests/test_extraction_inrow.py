@@ -1,0 +1,85 @@
+"""In-row extraction mode: golden equality + mode equivalence."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.datagen import generate_corpus  # noqa: E402
+from ocr_spark.operators.extraction import run_extraction  # noqa: E402
+from ocr_spark.operators.extraction_inrow import (  # noqa: E402
+    recognized_map,
+    run_extraction_inrow,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    tables = generate_corpus(n_docs=120, seed=23)
+    docs = spark.createDataFrame(tables["documents_interleaved"].to_pandas())
+    blobs = spark.createDataFrame(tables["media_blobs"].to_pandas())
+    expected = spark.createDataFrame(tables["expected_spans"].to_pandas())
+    return docs, blobs, expected
+
+
+def _canon(df):
+    spans = F.transform(
+        "out_spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["order"].cast("int").alias("order"),
+        ),
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.to_json(F.struct(spans.alias("out_spans"), "codes"))).alias("d"),
+    )
+
+
+def test_inrow_matches_golden(spark, corpus):
+    docs, blobs, expected = corpus
+    got = run_extraction_inrow(docs, blobs)
+    assert _canon(got).exceptAll(_canon(expected)).count() == 0
+    assert got.count() == 120  # empty-span docs retained
+
+
+def test_inrow_equals_shuffle_mode(spark, corpus):
+    """Both physical strategies must be observationally identical."""
+    docs, blobs, _ = corpus
+    a = _canon(run_extraction_inrow(docs, blobs))
+    b = _canon(run_extraction(docs, blobs))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_inrow_unresolvable_media_ref_empty_text(spark, corpus):
+    docs, blobs, _ = corpus
+    # empty blob table -> every media span text must be ''
+    empty_blobs = blobs.limit(0)
+    got = run_extraction_inrow(docs, empty_blobs)
+    media_texts = got.select(
+        F.explode(
+            F.filter("out_spans", lambda s: s["kind"] == F.lit("media"))
+        ).alias("s")
+    ).select(F.col("s.text").alias("t"))
+    n_nonempty = media_texts.filter(F.col("t") != "").count()
+    assert n_nonempty == 0
+
+
+def test_recognized_map_covers_exactly_used_refs(spark, corpus):
+    docs, blobs, _ = corpus
+    m = recognized_map(docs, blobs)
+    used = {
+        r["m"]
+        for r in docs.select(
+            F.explode("spans.media_ref").alias("m")
+        ).where(F.col("m").isNotNull()).distinct().collect()
+    }
+    have = {r["media_ref"] for r in blobs.select("media_ref").collect()}
+    assert set(m) == used & have
