@@ -163,115 +163,160 @@ def make_ground_text(rng: random.Random, codes: list[str]) -> str:
     return "\n".join(lines)
 
 
-def generate_corpus(n_docs: int, seed: int = SEED) -> dict[str, pa.Table]:
-    """Build the three tables as pyarrow Tables (columnar, no Spark)."""
-    rng = random.Random(seed)
+BANNED = ["1234123412341234", "1234123422341234"]
 
-    # ---- media blob pool -------------------------------------------------
-    # pool grows sublinearly past 100k docs: at web scale hot media is
-    # shared across many documents (the semi-join dedup is the point)
-    n_blobs = max(32, min(int(n_docs * 0.3), 30000 + int(n_docs * 0.03)))
-    blob_refs: list[str] = []
-    blob_rows = {"media_ref": [], "width": [], "height": [],
-                 "pixels": [], "ground_text": []}
-    blob_text: dict[str, str] = {}
-    for bi in range(n_blobs):
-        ref = f"img-{bi:08d}"
-        roll = rng.random()
-        if roll < 0.05:
-            # noise blob: sub-threshold speckle, no text
-            h, w = rng.randint(16, 48), rng.randint(16, 48)
-            noise = np.array(
-                [rng.randrange(0, 60) for _ in range(h * w)], dtype=np.uint8
-            ).reshape(h, w)
-            img, gt = noise, ""
+
+def _item_seed(seed: int, kind: int, idx: int) -> int:
+    import hashlib
+
+    digest = hashlib.md5(f"{seed}:{kind}:{idx}".encode()).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+def _make_blob(bi: int, seed: int) -> dict:
+    """One media blob, from a per-blob RNG (order-independent, shardable).
+
+    RNG seeds are md5-derived ints (stable across processes and runs).
+    """
+    rng = random.Random(_item_seed(seed, 0, bi))
+    ref = f"img-{bi:08d}"
+    if rng.random() < 0.05:
+        # noise blob: sub-threshold speckle, no text
+        h, w = rng.randint(16, 48), rng.randint(16, 48)
+        noise = np.array(
+            [rng.randrange(0, 60) for _ in range(h * w)], dtype=np.uint8
+        ).reshape(h, w)
+        img, gt = noise, ""
+    else:
+        n_codes = 1 if rng.random() < 0.5 else 0
+        codes = [_code(rng) for _ in range(n_codes)]
+        gt = make_ground_text(rng, codes)
+        ink = rng.choice([255, 200, 160, 90])  # incl. low-contrast
+        img = render_text(gt, ink=ink)
+    return {"media_ref": ref, "width": img.shape[1], "height": img.shape[0],
+            "pixels": img.tobytes(), "ground_text": gt}
+
+
+def _make_doc(di: int, seed: int, blob_refs: list[str],
+              blob_text: dict[str, str]) -> tuple[dict, dict]:
+    """One document + its golden, from a per-doc RNG."""
+    rng = random.Random(_item_seed(seed, 1, di))
+    doc_id = f"doc-{di:08d}"
+    edge = di % 97  # deterministic edge-case slots
+    spans: list[dict] = []
+    expected: list[dict] = []
+
+    if edge == 0 and di > 0:
+        pass  # empty-spans document
+    elif edge == 1:
+        # all-media doc
+        for off in range(rng.randint(2, 5)):
+            ref = rng.choice(blob_refs)
+            spans.append({"kind": "media", "text": None,
+                          "media_ref": ref, "offset": off})
+            expected.append({"kind": "media", "text": blob_text[ref],
+                             "media_ref": ref, "order": off})
+    elif edge == 2:
+        # duplicate + banned + near-miss codes across offsets
+        dup = _code(rng)
+        near15 = dup[:15]
+        near17 = dup + "9"
+        texts = [
+            f"first mention of the voucher {_spaced_code(dup, rng)} here today",
+            f"banned code {_spaced_code(BANNED[0], rng)} and also "
+            f"{_spaced_code(BANNED[1], rng)} must be dropped entirely",
+            f"repeat {_spaced_code(dup, rng)} and near miss {near15} "
+            f"plus overlong {near17} trailing words",
+        ]
+        for off, t in enumerate(texts):
+            spans.append({"kind": "text", "text": t,
+                          "media_ref": None, "offset": off})
+            expected.append({"kind": "text", "text": t.strip(),
+                             "media_ref": None, "order": off})
+    else:
+        heavy = rng.random() < 0.02
+        if heavy:
+            n_media = rng.randint(32, 128)
+            n_text = rng.randint(0, 2)
         else:
-            n_codes = 1 if rng.random() < 0.5 else 0
-            codes = [_code(rng) for _ in range(n_codes)]
-            gt = make_ground_text(rng, codes)
-            ink = rng.choice([255, 200, 160, 90])  # incl. low-contrast
-            img = render_text(gt, ink=ink)
-        blob_refs.append(ref)
-        blob_text[ref] = gt
-        blob_rows["media_ref"].append(ref)
-        blob_rows["width"].append(img.shape[1])
-        blob_rows["height"].append(img.shape[0])
-        blob_rows["pixels"].append(img.tobytes())
-        blob_rows["ground_text"].append(gt)
-
-    # ---- documents -------------------------------------------------------
-    doc_rows = {"doc_id": [], "spans": []}
-    exp_rows = {"doc_id": [], "out_spans": [], "codes": []}
-
-    banned = ["1234123412341234", "1234123422341234"]
-
-    for di in range(n_docs):
-        doc_id = f"doc-{di:08d}"
-        edge = di % 97  # deterministic edge-case slots
-        spans: list[dict] = []
-        expected: list[dict] = []
-
-        if edge == 0 and di > 0:
-            pass  # empty-spans document
-        elif edge == 1:
-            # all-media doc
-            for off in range(rng.randint(2, 5)):
+            n_spans = rng.randint(2, 8)
+            n_text = max(1, round(n_spans * 0.6))
+            n_media = n_spans - n_text
+        kinds = ["text"] * n_text + ["media"] * n_media
+        rng.shuffle(kinds)
+        for off, kind in enumerate(kinds):
+            if kind == "text":
+                n_codes = 1 if rng.random() < 0.3 else 0
+                codes = [_code(rng) for _ in range(n_codes)]
+                raw, exp_text = make_text_span(rng, codes)
+                spans.append({"kind": "text", "text": raw,
+                              "media_ref": None, "offset": off})
+                expected.append({"kind": "text", "text": exp_text,
+                                 "media_ref": None, "order": off})
+            else:
                 ref = rng.choice(blob_refs)
                 spans.append({"kind": "media", "text": None,
                               "media_ref": ref, "offset": off})
                 expected.append({"kind": "media", "text": blob_text[ref],
                                  "media_ref": ref, "order": off})
-        elif edge == 2:
-            # duplicate + banned + near-miss codes across offsets
-            dup = _code(rng)
-            near15 = dup[:15]
-            near17 = dup + "9"
-            texts = [
-                f"first mention of the voucher {_spaced_code(dup, rng)} here today",
-                f"banned code {_spaced_code(banned[0], rng)} and also "
-                f"{_spaced_code(banned[1], rng)} must be dropped entirely",
-                f"repeat {_spaced_code(dup, rng)} and near miss {near15} "
-                f"plus overlong {near17} trailing words",
-            ]
-            for off, t in enumerate(texts):
-                spans.append({"kind": "text", "text": t,
-                              "media_ref": None, "offset": off})
-                expected.append({"kind": "text", "text": t.strip(),
-                                 "media_ref": None, "order": off})
-        else:
-            heavy = rng.random() < 0.02
-            if heavy:
-                n_media = rng.randint(32, 128)
-                n_text = rng.randint(0, 2)
-            else:
-                n_spans = rng.randint(2, 8)
-                n_text = max(1, round(n_spans * 0.6))
-                n_media = n_spans - n_text
-            kinds = ["text"] * n_text + ["media"] * n_media
-            rng.shuffle(kinds)
-            for off, kind in enumerate(kinds):
-                if kind == "text":
-                    n_codes = 1 if rng.random() < 0.3 else 0
-                    codes = [_code(rng) for _ in range(n_codes)]
-                    raw, exp_text = make_text_span(rng, codes)
-                    spans.append({"kind": "text", "text": raw,
-                                  "media_ref": None, "offset": off})
-                    expected.append({"kind": "text", "text": exp_text,
-                                     "media_ref": None, "order": off})
-                else:
-                    ref = rng.choice(blob_refs)
-                    spans.append({"kind": "media", "text": None,
-                                  "media_ref": ref, "offset": off})
-                    expected.append({"kind": "media", "text": blob_text[ref],
-                                     "media_ref": ref, "order": off})
 
-        doc_text = "\n".join(e["text"] for e in expected)
-        codes = extract_voucher_codes(doc_text)
-        doc_rows["doc_id"].append(doc_id)
-        doc_rows["spans"].append(spans)
-        exp_rows["doc_id"].append(doc_id)
-        exp_rows["out_spans"].append(expected)
-        exp_rows["codes"].append(codes)
+    doc_text = "\n".join(e["text"] for e in expected)
+    codes = extract_voucher_codes(doc_text)
+    doc_row = {"doc_id": doc_id, "spans": spans}
+    exp_row = {"doc_id": doc_id, "out_spans": expected, "codes": codes}
+    return doc_row, exp_row
+
+
+def _blob_chunk(args: tuple) -> list[dict]:
+    lo, hi, seed = args
+    return [_make_blob(bi, seed) for bi in range(lo, hi)]
+
+
+def _doc_chunk(args: tuple) -> list[tuple[dict, dict]]:
+    lo, hi, seed, blob_refs, blob_text = args
+    return [_make_doc(di, seed, blob_refs, blob_text) for di in range(lo, hi)]
+
+
+def generate_corpus(n_docs: int, seed: int = SEED,
+                    workers: int | None = None) -> dict[str, pa.Table]:
+    """Build the three tables as pyarrow Tables (columnar, no Spark).
+
+    Every blob/document derives from its own (seed, kind, index) RNG, so
+    generation is order-independent and shards perfectly — the same
+    property a 100 TB corpus generator needs to run AS a Spark job. Large
+    corpora fan out over a process pool; small ones stay in-process.
+    """
+    # pool grows sublinearly past 100k docs: at web scale hot media is
+    # shared across many documents (the semi-join dedup is the point)
+    n_blobs = max(32, min(int(n_docs * 0.3), 30000 + int(n_docs * 0.03)))
+    if workers is None:
+        workers = min(os.cpu_count() or 1, 16) if n_docs >= 20000 else 0
+
+    def _fan(fn, n, extra):
+        chunks = max(1, min(workers * 4, n // 256)) if workers else 1
+        step = -(-n // chunks)
+        jobs = [(lo, min(lo + step, n), seed, *extra)
+                for lo in range(0, n, step)]
+        if workers:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(workers) as pool:
+                return [row for part in pool.map(fn, jobs) for row in part]
+        return [row for job in jobs for row in fn(job)]
+
+    blob_list = _fan(_blob_chunk, n_blobs, ())
+    blob_refs = [b["media_ref"] for b in blob_list]
+    blob_text = {b["media_ref"]: b["ground_text"] for b in blob_list}
+    blob_rows = {k: [b[k] for b in blob_list]
+                 for k in ("media_ref", "width", "height", "pixels",
+                           "ground_text")}
+
+    pairs = _fan(_doc_chunk, n_docs, (blob_refs, blob_text))
+    doc_rows = {"doc_id": [p[0]["doc_id"] for p in pairs],
+                "spans": [p[0]["spans"] for p in pairs]}
+    exp_rows = {"doc_id": [p[1]["doc_id"] for p in pairs],
+                "out_spans": [p[1]["out_spans"] for p in pairs],
+                "codes": [p[1]["codes"] for p in pairs]}
 
     span_type = pa.struct([
         ("kind", pa.string()), ("text", pa.string()),
@@ -321,7 +366,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=3 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=4 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

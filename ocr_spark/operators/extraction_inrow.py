@@ -35,7 +35,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -56,7 +57,8 @@ def recognized_map(docs: DataFrame, blobs: DataFrame) -> dict[str, str]:
 
     One nested-pruned scan of docs (only spans.media_ref is read), one
     broadcast semi-join prune of blobs, one Arrow OCR pass per distinct
-    blob. Returns a plain dict for sc.broadcast.
+    blob. Collected via the Arrow path (toPandas), not row-pickled.
+    Returns a plain dict for sc.broadcast.
     """
     needed = (
         docs.select(F.explode("spans.media_ref").alias("media_ref"))
@@ -64,7 +66,71 @@ def recognized_map(docs: DataFrame, blobs: DataFrame) -> dict[str, str]:
         .distinct()
     )
     pruned = blobs.join(F.broadcast(needed), "media_ref", "left_semi")
-    return {r["media_ref"]: r["text"] for r in recognize_blobs(pruned).collect()}
+    pdf = recognize_blobs(pruned).toPandas()
+    return dict(zip(pdf["media_ref"], pdf["text"]))
+
+
+def _transform_batch(batch: pa.RecordBatch,
+                     media_text: dict[str, str]) -> pa.RecordBatch:
+    """Strip/substitute one Arrow batch without per-span Python objects.
+
+    Only the flat `text` child array is rebuilt in Python (that work is
+    the actual extraction); kind/media_ref/offset children and the list
+    offsets are reused zero-copy. Rows whose spans are not already
+    offset-sorted (contract allows it; our corpus always is) take a rare
+    per-row reorder path.
+    """
+    spans = batch.column("spans")
+    if spans.null_count:
+        spans = spans.fill_null([])
+    flat = spans.flatten()  # slice-safe struct array of all spans
+    lengths = np.asarray(spans.value_lengths().fill_null(0))
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    out_texts = [
+        strip_boilerplate(t) if k == "text" else media_text.get(r, "")
+        for k, t, r in zip(kinds, texts, refs)
+    ]
+
+    kind_arr = flat.field("kind")
+    ref_arr = flat.field("media_ref")
+    order_arr = flat.field("offset")
+
+    # contract safety: if any row's offsets are not ascending, reorder it
+    offs_np = np.asarray(order_arr.to_pandas(), dtype=np.int64)
+    order_ok = True
+    for i in range(len(lengths)):
+        seg = offs_np[offsets[i]:offsets[i + 1]]
+        if seg.size > 1 and np.any(np.diff(seg) < 0):
+            order_ok = False
+            break
+    if not order_ok:
+        perm = np.arange(len(offs_np))
+        for i in range(len(lengths)):
+            lo, hi = offsets[i], offsets[i + 1]
+            perm[lo:hi] = lo + np.argsort(offs_np[lo:hi], kind="stable")
+        take = pa.array(perm)
+        kind_arr = kind_arr.take(take)
+        ref_arr = ref_arr.take(take)
+        order_arr = order_arr.take(take)
+        out_texts = [out_texts[j] for j in perm]
+
+    # mapInArrow does not coerce returned types to the declared schema —
+    # cast explicitly (input `offset` may arrive int64 via pandas-built
+    # DataFrames; declared OUT_SPAN_TYPE.order is int32)
+    new_values = pa.StructArray.from_arrays(
+        [kind_arr.cast(pa.string()), pa.array(out_texts, pa.string()),
+         ref_arr.cast(pa.string()), order_arr.cast(pa.int32())],
+        names=["kind", "text", "media_ref", "order"],
+    )
+    out_spans = pa.ListArray.from_arrays(pa.array(offsets), new_values)
+    return pa.RecordBatch.from_arrays(
+        [batch.column("doc_id"), out_spans], names=["doc_id", "out_spans"]
+    )
 
 
 def run_extraction_inrow(docs: DataFrame, blobs: DataFrame) -> DataFrame:
@@ -76,29 +142,14 @@ def run_extraction_inrow(docs: DataFrame, blobs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(recognized_map(docs, blobs))
 
-    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         media_text = bc.value
-        for pdf in batches:
-            out_col = []
-            for spans in pdf["spans"]:
-                items = []
-                for s in spans:
-                    if s["kind"] == "text":
-                        txt = strip_boilerplate(s["text"])
-                    else:
-                        txt = media_text.get(s["media_ref"], "")
-                    items.append(
-                        {"kind": s["kind"], "text": txt,
-                         "media_ref": s["media_ref"],
-                         "order": s["offset"]}
-                    )
-                items.sort(key=lambda it: it["order"])
-                out_col.append(items)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "out_spans": out_col}
-            )
+        for batch in batches:
+            yield _transform_batch(batch, media_text)
 
-    stripped = docs.mapInPandas(_process, schema=_SPANS_SCHEMA)
+    stripped = docs.select("doc_id", "spans").mapInArrow(
+        _process, schema=_SPANS_SCHEMA
+    )
     doc_text = F.array_join(
         F.transform("out_spans", lambda s: s["text"]), "\n"
     )

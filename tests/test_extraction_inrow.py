@@ -72,6 +72,16 @@ def test_inrow_unresolvable_media_ref_empty_text(spark, corpus):
     assert n_nonempty == 0
 
 
+def test_inrow_sorts_out_of_order_offsets(spark, corpus):
+    """Contract: out_spans ordered by offset even if the input array isn't."""
+    docs, blobs, _ = corpus
+    shuffled = docs.select("doc_id", F.reverse("spans").alias("spans"))
+    a = _canon(run_extraction_inrow(shuffled, blobs))
+    b = _canon(run_extraction_inrow(docs, blobs))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_recognized_map_covers_exactly_used_refs(spark, corpus):
     docs, blobs, _ = corpus
     m = recognized_map(docs, blobs)
