@@ -255,6 +255,130 @@ def f1_voucher_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a1_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving first-occurrence dedup, relational form (reference
+    seen-set streaming dedup, /root/reference/src/shared/
+    extractVoucherCodes.js:15-22; window pattern per SURVEY.md 2.4 A1):
+    per order, keep the first line that mentions each part, with its
+    encounter position."""
+    from ocr_spark.functions.vouchers import first_occurrence_dedup
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("pos"),
+        (F.col("l_partkey") % 100).cast("long").alias("code"),
+    )
+    return first_occurrence_dedup(li, "l_orderkey", "code", "pos").select(
+        "l_orderkey", "code", F.col("pos").cast("long").alias("first_pos")
+    )
+
+
+def j2_merge_array_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-append merge (reference insert-or-append voucher store,
+    /root/reference/src/database/VoucherDatabase.py:168-198): existing
+    codes per customer merged with a new batch via full outer + union.
+    Arrays sorted for engine-neutral comparison."""
+    orders = _t(spark, sf_dir, "orders")
+    code = F.lpad((F.col("o_orderkey") % 10000).cast("string"), 4, "0")
+    old = (
+        orders.filter(F.col("o_orderdate") < "1995-01-01")
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set(code)).alias("codes"))
+    )
+    new = (
+        orders.filter(F.col("o_orderdate") >= "1995-01-01")
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set(code)).alias("codes"))
+    )
+    merged = (
+        old.alias("o").join(new.alias("n"), "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.array_sort(
+                F.array_union(
+                    F.coalesce(F.col("o.codes"), F.array().cast("array<string>")),
+                    F.coalesce(F.col("n.codes"), F.array().cast("array<string>")),
+                )
+            ).alias("codes"),
+        )
+    )
+    return merged.select(
+        "o_custkey", F.size("codes").cast("long").alias("n_codes"),
+        F.array_join("codes", ",").alias("codes_csv"),
+    )
+
+
+def p3_banned_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-set filter as a broadcast anti-join (reference always-on
+    server filter, /root/reference/src/database/VoucherDatabase.js:18,
+    banned set src/shared/bannedVouchers.js:4)."""
+    banned = spark.createDataFrame(
+        [("BRASS",), ("COPPER",)], ["p_type_word"]
+    )
+    part = _t(spark, sf_dir, "part").withColumn(
+        "p_type_word", F.element_at(F.split("p_type", " "), -1)
+    )
+    return part.join(
+        F.broadcast(banned), "p_type_word", "left_anti"
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def a6_collect_codes_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordered code collection (reference per-document voucher
+    accumulation across crops, /root/reference/test/tesseract2.js main
+    loop): explicit sort_array over (pos, code) structs — never
+    shuffle-order luck."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    code = F.lpad((F.col("l_partkey") % 10000).cast("string"), 4, "0")
+    return (
+        li.select("l_orderkey", F.col("l_linenumber").alias("pos"),
+                  code.alias("code"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "code"))),
+                    lambda s: s["code"],
+                ),
+                ",",
+            ).alias("codes_csv"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def f6_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path normalize / basename / extension (reference path handling,
+    /root/reference/src/database/VoucherDatabase.py:84-88, src/ocr/
+    cli.py:127)."""
+    cust = _t(spark, sf_dir, "customer")
+    path = F.concat(
+        F.lit("C:\\data\\uploads\\"), F.col("c_mktsegment"),
+        F.lit("\\img_"), F.col("c_custkey").cast("string"), F.lit(".png"),
+    )
+    unix = F.regexp_replace(path, r"\\\\", "/")
+    base = F.element_at(F.split(unix, "/"), -1)
+    return cust.select(
+        "c_custkey",
+        unix.alias("unix_path"),
+        base.alias("basename"),
+        F.element_at(F.split(base, r"\."), -1).alias("ext"),
+    )
+
+
+def w3_seeded_random_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY RANDOM() with a fixed seed (reference random select,
+    /root/reference/src/database/SQLiteHelper.py:170-172). Seeded rand is
+    engine-specific -> no SQL oracle (rows-only check); determinism within
+    Spark is covered by pytest."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.rand(42), "c_custkey")
+        .limit(100)
+        .select("c_custkey", "c_name")
+    )
+
+
 def s5_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -413,6 +537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_contains_search": p6_contains_search,
         "f_hash_surrogates": f_hash_surrogates,
         "f1_voucher_extract_synth": f1_voucher_extract_synth,
+        "a1_first_occurrence_dedup": a1_first_occurrence_dedup,
+        "j2_merge_array_union": j2_merge_array_union,
+        "p3_banned_anti_join": p3_banned_anti_join,
+        "a6_collect_codes_per_key": a6_collect_codes_per_key,
+        "f6_path_functions": f6_path_functions,
+        "w3_seeded_random_order": w3_seeded_random_order,
         "s5_scan_filter_project": s5_scan_filter_project,
         "f11_json_props": f11_json_props,
         "text_token_count": text_token_count,
@@ -554,6 +684,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(regexp_replace(raw, '\s+', '', 'g')) = 16
               AND regexp_replace(raw, '\s+', '', 'g') NOT IN
                   ('1234123412341234', '1234123422341234')
+        """,
+        "a1_first_occurrence_dedup": """
+            SELECT l_orderkey, code, first_pos FROM (
+              SELECT l_orderkey, l_partkey % 100 AS code,
+                     l_linenumber AS first_pos,
+                     row_number() OVER (
+                       PARTITION BY l_orderkey, l_partkey % 100
+                       ORDER BY l_linenumber) AS rn
+              FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "j2_merge_array_union": """
+            WITH o AS (
+              SELECT o_custkey,
+                     list_sort(list_distinct(list(
+                       lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')))) AS codes
+              FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+              GROUP BY o_custkey
+            ), n AS (
+              SELECT o_custkey,
+                     list_sort(list_distinct(list(
+                       lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')))) AS codes
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              GROUP BY o_custkey
+            ), m AS (
+              SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+                     list_sort(list_distinct(
+                       coalesce(o.codes, []) || coalesce(n.codes, []))) AS codes
+              FROM o FULL OUTER JOIN n ON o.o_custkey = n.o_custkey
+            )
+            SELECT o_custkey, len(codes) AS n_codes,
+                   array_to_string(codes, ',') AS codes_csv
+            FROM m
+        """,
+        "p3_banned_anti_join": """
+            SELECT p_partkey, p_name, p_type FROM part
+            WHERE regexp_extract(p_type, '(\\S+)$', 1)
+                  NOT IN ('BRASS', 'COPPER')
+        """,
+        "a6_collect_codes_per_key": """
+            SELECT l_orderkey,
+                   string_agg(lpad(CAST(l_partkey % 10000 AS VARCHAR), 4, '0'),
+                              ',' ORDER BY l_linenumber,
+                              lpad(CAST(l_partkey % 10000 AS VARCHAR), 4, '0'))
+                     AS codes_csv,
+                   count(*) AS n_lines
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            GROUP BY l_orderkey
+        """,
+        "f6_path_functions": r"""
+            WITH t AS (
+              SELECT c_custkey,
+                     'C:\data\uploads\' || c_mktsegment || '\img_' ||
+                       CAST(c_custkey AS VARCHAR) || '.png' AS win_path
+              FROM customer
+            ), u AS (
+              SELECT c_custkey, replace(win_path, '\', '/') AS unix_path
+              FROM t
+            )
+            SELECT c_custkey, unix_path,
+                   regexp_extract(unix_path, '([^/]+)$', 1) AS basename,
+                   regexp_extract(unix_path, '\.([^./]+)$', 1) AS ext
+            FROM u
         """,
         "s5_scan_filter_project": """
             SELECT l_orderkey, l_partkey, l_linenumber,

@@ -1,0 +1,98 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast, shuffles.
+
+At 100 TB these properties are the performance model; pin them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from ocr_spark.plans.checks import (  # noqa: E402
+    exchange_count,
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entry_mod.s5_scan_filter_project(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "l_quantity" in filters, filters
+    assert "l_shipdate" in filters, filters
+
+
+def test_column_pruning_projection_only_reads_needed(spark):
+    df = entry_mod.s5_scan_filter_project(spark, SF_DIR)
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    # 16-column lineitem scan must shrink to the 6 referenced columns
+    assert all(s.count(":") <= 7 for s in schemas), schemas
+    assert "l_comment" not in " ".join(schemas)
+
+
+def test_small_dims_broadcast_in_join_query(spark):
+    df = entry_mod.q3_revenue_by_nation(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_banned_anti_join_is_broadcast(spark):
+    df = entry_mod.p3_banned_anti_join(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_extraction_needed_scan_prunes_nested_text(spark):
+    """The distinct-media-ref scan must NOT read span text: nested schema
+    pruning keeps the heavy text bytes out of the OCR planning path."""
+    from ocr_spark.datagen import corpus_dir
+
+    cdir = corpus_dir(0.001)
+    docs = spark.read.parquet(
+        os.path.join(cdir, "documents_interleaved.parquet"))
+    needed = (
+        docs.select(F.explode("spans.media_ref").alias("m"))
+        .where(F.col("m").isNotNull())
+        .distinct()
+    )
+    schemas = " ".join(read_schemas(needed))
+    assert "media_ref" in schemas
+    assert "text" not in schemas, schemas
+
+
+def test_extraction_shuffle_budget(spark):
+    """General-mode extraction: the only hash exchanges are the media-ref
+    distinct and the final reassembly — document payload shuffles once."""
+    from ocr_spark.datagen import corpus_dir
+    from ocr_spark.operators.extraction import run_extraction
+
+    cdir = corpus_dir(0.001)
+    docs = spark.read.parquet(
+        os.path.join(cdir, "documents_interleaved.parquet"))
+    blobs = spark.read.parquet(os.path.join(cdir, "media_blobs.parquet"))
+    n = exchange_count(run_extraction(docs, blobs))
+    assert n <= 3, f"shuffle budget exceeded: {n} exchanges"
+
+
+def test_inrow_extraction_has_no_doc_shuffle(spark):
+    """In-row mode: zero hash exchanges in the main pass (the OCR-side
+    distinct runs in its own tiny job)."""
+    from ocr_spark.datagen import corpus_dir
+    from ocr_spark.operators.extraction_inrow import run_extraction_inrow
+
+    cdir = corpus_dir(0.001)
+    docs = spark.read.parquet(
+        os.path.join(cdir, "documents_interleaved.parquet"))
+    blobs = spark.read.parquet(os.path.join(cdir, "media_blobs.parquet"))
+    out = run_extraction_inrow(docs, blobs)
+    assert exchange_count(out) == 0, executed_plan(out)
