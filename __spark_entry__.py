@@ -356,7 +356,7 @@ def f6_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("C:\\data\\uploads\\"), F.col("c_mktsegment"),
         F.lit("\\img_"), F.col("c_custkey").cast("string"), F.lit(".png"),
     )
-    unix = F.regexp_replace(path, r"\\\\", "/")
+    unix = F.regexp_replace(path, r"\\", "/")
     base = F.element_at(F.split(unix, "/"), -1)
     return cust.select(
         "c_custkey",

@@ -63,7 +63,9 @@ def run_flagship(spark, sf: float, warmup: bool = True,
     from pyspark.sql import functions as F
 
     from ocr_spark.datagen import corpus_dir
-    from ocr_spark.operators.extraction import run_extraction
+    from ocr_spark.operators.extraction_inrow import (
+        run_extraction_inrow as run_extraction,
+    )
 
     def _load(d):
         return (
@@ -133,8 +135,10 @@ def run_scaling(sf: float) -> dict:
     """
     from ocr_spark.session import get_spark, stop_spark
 
-    out: dict = {"sf": sf}
-    for cores in (8, 32):
+    pair = os.environ.get("BENCH_SCALING_CORES", "8,32")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
+    out: dict = {"sf": sf, "pair": f"local[{n_lo}] -> local[{n_hi}]"}
+    for cores in (n_lo, n_hi):
         stop_spark()
         spark = get_spark(app_name=f"bench-scaling-{cores}", cores=cores)
         stats = run_flagship(spark, sf, reps=5, steady=True)
@@ -145,10 +149,12 @@ def run_scaling(sf: float) -> dict:
             "equality_pct": stats["equality_pct"],
         }
         stop_spark()
-    thr8 = out["local[8]"]["docs_per_sec"]
-    thr32 = out["local[32]"]["docs_per_sec"]
-    out["speedup_8_to_32"] = round(thr32 / thr8, 3)
-    out["scaling_efficiency"] = round(thr32 / thr8 / 4.0, 3)
+    thr_lo = out[f"local[{n_lo}]"]["docs_per_sec"]
+    thr_hi = out[f"local[{n_hi}]"]["docs_per_sec"]
+    out["speedup"] = round(thr_hi / thr_lo, 3)
+    out["scaling_efficiency"] = round(
+        thr_hi / thr_lo / (n_hi / n_lo), 3
+    )
     return out
 
 
