@@ -3,49 +3,53 @@
 Brute-force cosine top-k (exact baseline, SQL-oracle-checkable) and a
 random-hyperplane LSH-bucketed variant (the sublinear scale path).
 
-Numeric discipline: embeddings are cast to double and dot products are
-left-fold aggregates (F.aggregate over zip_with), which makes the result
-bit-identical to a sequential sum — DuckDB's list_dot_product over
-DOUBLE[] computes the same value, so the oracle comparison is exact before
-rounding.
+Execution shape: the small side (query set / hyperplanes / — for the
+all-pairs oracle — the whole normalized matrix) is broadcast as a numpy
+array; each Arrow batch of the big side does ONE float64 matmul against
+it inside mapInPandas. No per-pair Catalyst fold, no crossJoin row
+explosion: similarity math runs at BLAS speed and only (id, id, sim)
+survivors leave Python.
+
+Numeric discipline: all math in float64, results rounded to 6 dp on both
+engine and oracle sides. numpy's pairwise summation differs from the
+oracle's sequential fold by ~1e-15 relative — eleven orders of magnitude
+below the rounding quantum.
 
 Scale notes (100 TB):
-  * cosine_topk broadcasts the (tiny) query set and computes sims in the
-    scan stage — one shuffle for the per-query top-k window. Norms are
-    computed once per side, never per pair.
-  * lsh_topk buckets both sides by sign-bit prefixes of h random
-    hyperplane projections: candidate generation is an equi-join on the
-    bucket key (shuffle on a short int key), so the pair matrix is never
-    materialized. Recall is tunable via num_planes/num_probes.
+  * cosine_topk broadcasts only the query matrix; work is one scan of the
+    embedding table + a tiny per-query top-k shuffle. Linear in rows.
+  * embedding_neardup_pairs broadcasts the full normalized matrix — the
+    EXACT O(n^2) oracle, intended for samples/small SFs; the production
+    near-dup path is LSH bucketing (minhash/simhash for text,
+    hyperplane buckets here).
+  * lsh_topk buckets by sign-bit prefixes of hyperplane projections:
+    candidate generation is an equi-join on a short int key, so the pair
+    matrix is never materialized. Recall tunable via num_planes.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
+def _matrix(pdf_vecs: pd.Series) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
 
 
-def _with_norm(df: DataFrame, vec: str = "vec") -> DataFrame:
-    return df.withColumn("norm", F.sqrt(_dot(F.col(vec), F.col(vec))))
-
-
-def prepare_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec double[], norm) — cast once, norm once."""
-    out = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    )
-    return _with_norm(out)
+def _normalized_rows(df: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, unit-row matrix) to the driver for broadcasting."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = _matrix(pdf[vec_col])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
 
 
 def cosine_topk(
@@ -60,20 +64,34 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank); self excluded; ties
     broken by neighbor_id ascending (deterministic across engines).
     """
-    base = prepare_embeddings(emb, id_col, vec_col)
-    queries = base.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
+    spark = emb.sparkSession
+    q_ids, q_mat = _normalized_rows(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col
     )
-    joined = base.crossJoin(F.broadcast(queries)).filter(
-        F.col("id") != F.col("query_id")
-    )
-    sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))
-    scored = joined.select(
-        "query_id",
-        F.col("id").alias("neighbor_id"),
-        F.round(sim, 6).alias("cos_sim"),
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc.value
+        for pdf in batches:
+            mat = _matrix(pdf["vec"])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ qmat.T  # (batch, n_queries)
+            n, m = sims.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids[None, :], n, axis=0).ravel(),
+                "neighbor_id": np.repeat(pdf["id"].to_numpy(), m),
+                "cos_sim": np.round(sims.ravel(), 6),
+            })
+
+    scored = (
+        emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("vec"))
+        .mapInPandas(
+            _score,
+            schema="query_id long, neighbor_id long, cos_sim double",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -90,22 +108,34 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (id_a < id_b, sim >= threshold).
 
-    Exact baseline / oracle; use lsh_topk-style bucketing beyond small SFs.
+    Exact O(n^2) baseline / oracle: the full unit matrix is broadcast and
+    each batch matmuls against it. Use LSH bucketing beyond small SFs.
     """
-    base = prepare_embeddings(emb, id_col, vec_col)
-    a = base.alias("a")
-    b = base.alias("b")
-    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
+    spark = emb.sparkSession
+    all_ids, all_mat = _normalized_rows(emb, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((all_ids, all_mat))
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            mat = _matrix(pdf["vec"])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ mat_b.T
+            ids_a = pdf["id"].to_numpy()
+            sims = np.round(sims, 6)
+            keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({
+                "id_a": ids_a[ai],
+                "id_b": ids_b[bi],
+                "cos_sim": sims[ai, bi],
+            })
+
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(sim, 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("vec"))
+        .mapInPandas(_pairs, schema="id_a long, id_b long, cos_sim double")
     )
 
 
@@ -114,24 +144,34 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
-def lsh_bucket_key(vec_col, planes: np.ndarray):
-    """Sign-bit bucket key from hyperplane projections (Catalyst exprs)."""
-    key = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        key = key.bitwiseXOR(F.shiftleft(bit, i))
-    return key
+def with_lsh_buckets(
+    emb: DataFrame, id_col: str, vec_col: str,
+    num_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """(id, vec, norm, bucket): sign-bit bucket of hyperplane projections,
+    computed as one matmul per Arrow batch."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def _bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        weights = (1 << np.arange(pl.shape[0])).astype(np.int64)
+        for pdf in batches:
+            mat = _matrix(pdf["vec"])
+            bits = (mat @ pl.T) > 0
+            pdf = pdf.copy()
+            pdf["norm"] = np.linalg.norm(mat, axis=1)
+            pdf["bucket"] = bits @ weights
+            yield pdf
+
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+    return base.mapInPandas(
+        _bucketize,
+        schema="id long, vec array<double>, norm double, bucket long",
+    )
 
 
 def lsh_topk(
@@ -149,11 +189,7 @@ def lsh_topk(
     join. Returns (query_id, neighbor_id, cos_sim, rank) over candidates
     only (recall < 1 by design; tested against cosine_topk for overlap).
     """
-    dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_planes, seed)
-    base = prepare_embeddings(emb, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket_key(F.col("vec"), planes)
-    )
+    base = with_lsh_buckets(emb, id_col, vec_col, num_planes, seed)
     queries = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -165,11 +201,12 @@ def lsh_topk(
         (F.col("bucket") == F.col("qbucket"))
         & (F.col("id") != F.col("query_id")),
     )
-    sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))
+    sim = F.zip_with("vec", "qvec", lambda x, y: x * y)
+    dot = F.aggregate(sim, F.lit(0.0), lambda acc, x: acc + x)
     scored = cand.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(sim, 6).alias("cos_sim"),
+        F.round(dot / (F.col("norm") * F.col("qnorm")), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
