@@ -391,9 +391,14 @@ def s5_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_partkey",
             "l_linenumber",
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
-            ).alias("net_price"),
+            # floor(x*100+0.5)/100 instead of round(x,2): Spark rounds the
+            # shortest decimal repr (BigDecimal HALF_UP), DuckDB rounds the
+            # binary double — they disagree on repr-boundary values. The
+            # floor formula is identical IEEE ops on both engines.
+            (F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            ) / 100).alias("net_price"),
         )
     )
 
@@ -750,7 +755,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s5_scan_filter_project": """
             SELECT l_orderkey, l_partkey, l_linenumber,
-                   round(l_extendedprice * (1 - l_discount), 2) AS net_price
+                   floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                     AS net_price
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
