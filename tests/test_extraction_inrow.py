@@ -82,6 +82,18 @@ def test_inrow_sorts_out_of_order_offsets(spark, corpus):
     assert b.exceptAll(a).count() == 0
 
 
+def test_salted_repartition_preserves_equality(spark, corpus):
+    """Skew path: salted repartition before the UDF stage must not change
+    results (north-rule skew handling; SURVEY.md 7.4 risk #1 — ordering
+    must be explicit, never shuffle luck)."""
+    docs, blobs, expected = corpus
+    salted = run_extraction(docs, blobs, salt_buckets=7)
+    a = _canon(salted)
+    b = _canon(expected)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_recognized_map_covers_exactly_used_refs(spark, corpus):
     docs, blobs, _ = corpus
     m = recognized_map(docs, blobs)
