@@ -416,6 +416,36 @@ def f11_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline: text analysis
 # --------------------------------------------------------------------------
 
+def q4_windowed_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate — the SAME operator runs over
+    readStream with a watermark (ocr_spark/streaming/pipeline.py,
+    pytest-verified); batch mode here so DuckDB can oracle it."""
+    from ocr_spark.streaming.pipeline import windowed_code_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_code_rate(ev, window="1 hour", watermark="30 minutes",
+                             group_col="event_type")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer count (GPT-2-ish regex: contractions,
+    letter runs, digit runs, punctuation runs with leading space) —
+    JVM-side regexp, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.textstats import token_count
 
@@ -550,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_seeded_random_order": w3_seeded_random_order,
         "s5_scan_filter_project": s5_scan_filter_project,
         "f11_json_props": f11_json_props,
+        "q4_windowed_event_rate": q4_windowed_event_rate,
+        "text_token_count_bpe": text_token_count_bpe,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_lang_id": text_lang_id,
@@ -767,6 +799,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "q4_windowed_event_rate": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS ws,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "text_token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "text_token_count": r"""
             SELECT doc_id,
