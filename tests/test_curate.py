@@ -1,0 +1,83 @@
+"""Curation pipeline: dedup -> extract -> MERGE -> audit, resumable."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.datagen import generate_corpus  # noqa: E402
+from ocr_spark.operators.curate import curate_and_extract, dedup_docs  # noqa: E402
+from ocr_spark.sources.snapstore import SnapshotTable  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    tables = generate_corpus(n_docs=50, seed=31)
+    docs = spark.createDataFrame(tables["documents_interleaved"].to_pandas())
+    blobs = spark.createDataFrame(tables["media_blobs"].to_pandas())
+    expected = spark.createDataFrame(tables["expected_spans"].to_pandas())
+    return docs, blobs, expected
+
+
+def _with_dupes(docs):
+    dupes = docs.filter(F.col("doc_id") < "doc-00000010").select(
+        F.concat(F.lit("zdup-"), "doc_id").alias("doc_id"), "spans"
+    )
+    return docs.unionByName(dupes)
+
+
+def test_dedup_docs_drops_payload_duplicates(spark, corpus):
+    docs, _, _ = corpus
+    doubled = _with_dupes(docs)
+    survivors, dup_map = dedup_docs(doubled)
+    assert survivors.count() == 50  # originals win (min doc_id)
+    dup_rows = {(r["doc_id"], r["keeper_id"]) for r in dup_map.collect()}
+    assert len(dup_rows) == 10
+    assert all(d.startswith("zdup-") and not k.startswith("zdup-")
+               for d, k in dup_rows)
+
+
+def test_curate_end_to_end_and_resume(spark, tmp_path, corpus):
+    docs, blobs, expected = corpus
+    doubled = _with_dupes(docs)
+    results = SnapshotTable(str(tmp_path / "res"), key_col="doc_id",
+                            n_buckets=4)
+    audit = SnapshotTable(str(tmp_path / "aud"))
+
+    s1 = curate_and_extract(doubled, blobs, results, audit)
+    assert s1["n_in"] == 60 and s1["n_unique"] == 50 and s1["n_dropped"] == 10
+
+    # results hold exactly the unique docs, equal to goldens
+    final = results.read(spark)
+    assert final.count() == 50
+
+    def canon(df):
+        spans = F.transform(
+            "out_spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].cast("int").alias("order"),
+            ),
+        )
+        return df.select(
+            "doc_id",
+            F.md5(F.to_json(F.struct(spans.alias("out_spans"), "codes"))).alias("d"),
+        )
+
+    assert canon(final).exceptAll(canon(expected)).count() == 0
+
+    # resume: rerun with the same input -> everything already committed;
+    # the 10 dup doc_ids are NOT in results, so they re-enter dedup and
+    # drop again; no new extraction happens
+    s2 = curate_and_extract(doubled, blobs, results, audit)
+    assert s2["n_unique"] == 0 and s2["results_version"] == s1["results_version"]
+
+    # audit carries the dedup statistics
+    arow = audit.read(spark).collect()[0]
+    assert arow["phase"] == "curate" and arow["n_dedup_dropped"] == 10
