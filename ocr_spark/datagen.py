@@ -37,7 +37,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .fonts import render_text
-from .functions.boilerplate_core import strip_boilerplate
 from .functions.voucher_core import extract_voucher_codes
 
 SEED = 42

@@ -106,3 +106,89 @@ def recognize_blobs(blobs: DataFrame) -> DataFrame:
     """
     cols = blobs.select("media_ref", "height", "width", "pixels")
     return cols.mapInPandas(_ocr_batches, schema=OCR_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# span-record variant: the reference's OCRResult shape
+# ---------------------------------------------------------------------------
+
+OCR_SPAN_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("line_no", T.IntegerType()),
+    T.StructField("bbox", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    T.StructField("text", T.StringType()),
+    T.StructField("confidence", T.DoubleType()),
+    T.StructField("section", T.StringType()),
+])
+
+
+def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
+                width: int) -> list[tuple]:
+    """Per-line OCR spans with bbox + confidence + section.
+
+    Mirrors the reference's EasyOCR record shape `{bbox: [[x,y]x4],
+    text, confidence, section}` (/root/reference/src/ocr/
+    easyocr_impl.py:25-29, 108-129): bbox corners are TL/TR/BR/BL of the
+    fixed-pitch line band; confidence = fraction of non-blank cells whose
+    template Hamming distance is 0 (1.0 on clean renders, lower on noise);
+    section = top/bottom half (the reference's crop-section vocabulary,
+    easyocr_impl.py:183-188).
+    """
+    from ..fonts import CHAR_PITCH, GLYPH_H, LINE_PITCH
+
+    text = recognizer.recognize(pixels, height, width)
+    out = []
+    for i, line in enumerate(text.split("\n") if text else []):
+        if not line:
+            continue
+        y0 = i * LINE_PITCH
+        x1 = len(line) * CHAR_PITCH
+        y1 = min(y0 + GLYPH_H, height)
+        bbox = [[0, y0], [x1, y0], [x1, y1], [0, y1]]
+        # confidence: re-render the decoded line and compare to the source
+        # band cell-exactly (deterministic analog of model confidence)
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        band = (img[y0:y0 + GLYPH_H] >= OCR_THRESHOLD).astype(np.uint8)
+        from ..fonts import render_text
+
+        ref = (render_text(line) > 0).astype(np.uint8)[:GLYPH_H]
+        h = min(band.shape[0], ref.shape[0])
+        w = min(band.shape[1], ref.shape[1])
+        total = max(1, len(line.replace(" ", "")))
+        wrong = 0
+        for ci, ch in enumerate(line):
+            if ch == " ":
+                continue
+            x = ci * CHAR_PITCH
+            a = band[:h, x:min(x + CHAR_PITCH - 1, w)]
+            b = ref[:h, x:min(x + CHAR_PITCH - 1, w)]
+            if a.shape != b.shape or (a != b).any():
+                wrong += 1
+        conf = round(1.0 - wrong / total, 4)
+        section = "top_half" if y0 < height / 2 else "bottom_half"
+        out.append((i, bbox, line, conf, section))
+    return out
+
+
+def _ocr_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    recognizer = _Recognizer.get()
+    for pdf in batches:
+        rows = []
+        for ref, px, h, w in zip(pdf["media_ref"], pdf["pixels"],
+                                 pdf["height"], pdf["width"]):
+            for line_no, bbox, text, conf, section in _line_spans(
+                    recognizer, px, h, w):
+                rows.append((ref, line_no, bbox, text, conf, section))
+        yield pd.DataFrame(
+            rows,
+            columns=["media_ref", "line_no", "bbox", "text",
+                     "confidence", "section"],
+        )
+
+
+def recognize_blob_spans(blobs: DataFrame) -> DataFrame:
+    """(media_ref, width, height, pixels) -> one row per recognized line
+    in the reference's OCRResult shape (bbox, text, confidence, section).
+    """
+    cols = blobs.select("media_ref", "height", "width", "pixels")
+    return cols.mapInPandas(_ocr_span_batches, schema=OCR_SPAN_SCHEMA)
