@@ -171,7 +171,7 @@ def main() -> None:
     from ocr_spark.session import get_spark, stop_spark
 
     spark = get_spark(app_name="bench")
-    flagship = run_flagship(spark, sf)
+    flagship = run_flagship(spark, sf, reps=3, steady=True)
     timings = run_queries(spark, sf_dir)
     stop_spark()
 
