@@ -192,6 +192,10 @@ def _make_blob(bi: int, seed: int) -> dict:
         gt = make_ground_text(rng, codes)
         ink = rng.choice([255, 200, 160, 90])  # incl. low-contrast
         img = render_text(gt, ink=ink)
+        if rng.random() < 0.15:
+            # stored rotated (reference rotation fixtures,
+            # image_utils.py:238-265); recognizer must de-rotate
+            img = np.ascontiguousarray(np.rot90(img, rng.choice([1, 2, 3])))
     return {"media_ref": ref, "width": img.shape[1], "height": img.shape[0],
             "pixels": img.tobytes(), "ground_text": gt}
 
@@ -365,7 +369,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=4 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=5 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

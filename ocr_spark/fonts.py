@@ -78,12 +78,57 @@ def render_text(text: str, ink: int = 255) -> np.ndarray:
     return img
 
 
+def detect_rotation(img: np.ndarray, threshold: int = 64) -> int:
+    """Detect 0/90/180/270-degree rotation (reference skew-detect +
+    upright gate, /root/reference/src/ocr/image_utils.py:268-315,
+    focus_pytesseract.py:36-48, rotations image_utils.py:238-265).
+
+    Deterministic criterion: for each candidate de-rotation, classify all
+    non-blank cells and sum the template Hamming distances; the true
+    orientation of a rendered image scores 0 (glyphs align with the
+    fixed pitch), wrong ones don't. Ties (noise/blank) resolve to the
+    first candidate in (0, 90, 180, 270) — the upright-bias the
+    reference's ±2-degree tolerance gate encodes.
+    Returns k such that np.rot90(img, k) is upright.
+    """
+    binary = (img >= threshold).astype(np.uint8)
+    if binary.size == 0 or binary.max() == 0:
+        return 0
+    best_k, best_score = 0, None
+    for k in (0, 1, 2, 3):
+        b = np.rot90(binary, k)
+        h, w = b.shape
+        n_lines = (h + LINE_PITCH - 1) // LINE_PITCH
+        n_cells = (w + CHAR_PITCH - 1) // CHAR_PITCH
+        padded = np.zeros((n_lines * LINE_PITCH, n_cells * CHAR_PITCH),
+                          dtype=np.uint8)
+        padded[:h, :w] = b
+        cells = (
+            padded.reshape(n_lines, LINE_PITCH, n_cells, CHAR_PITCH)
+            .transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W]
+        )
+        flat = cells.reshape(-1, GLYPH_H * GLYPH_W)
+        inked = flat[flat.any(axis=1)]
+        if inked.size == 0:
+            continue
+        dists = (inked[:, None, :] != TEMPLATE_MATRIX[None, :, :]).sum(axis=2)
+        score = dists.min(axis=1).sum() / max(len(inked), 1)
+        if best_score is None or score < best_score:
+            best_k, best_score = k, score
+            if score == 0:
+                break  # exact alignment; earlier k wins ties by order
+    return best_k
+
+
 def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
     """Inverse of render_text: binarize -> segment lines -> classify chars.
 
     Pure-numpy reference decoder used by tests as the oracle; the Spark-side
     recognizer in operators/ocr.py implements the same algorithm batched.
     """
+    k = detect_rotation(img, threshold)
+    if k:
+        img = np.rot90(img, k)
     binary = (img >= threshold).astype(np.uint8)
     if binary.size == 0 or binary.max() == 0:
         return ""

@@ -61,7 +61,16 @@ class _Recognizer:
         return cls._instance
 
     def recognize(self, pixels: bytes, height: int, width: int) -> str:
+        from ..fonts import detect_rotation
+
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        # upright gate + corrective rotate (reference skew pipeline,
+        # /root/reference/src/ocr/focus_pytesseract.py:36-48): detect the
+        # 0/90/180/270 orientation by template alignment, de-rotate first
+        k = detect_rotation(img, OCR_THRESHOLD)
+        if k:
+            img = np.rot90(img, k)
+            height, width = img.shape
         binary = (img >= OCR_THRESHOLD).astype(np.uint8)
         if binary.size == 0 or not binary.any():
             return ""
@@ -134,9 +143,16 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
     section = top/bottom half (the reference's crop-section vocabulary,
     easyocr_impl.py:183-188).
     """
-    from ..fonts import CHAR_PITCH, GLYPH_H, LINE_PITCH
+    from ..fonts import CHAR_PITCH, GLYPH_H, LINE_PITCH, detect_rotation
 
-    text = recognizer.recognize(pixels, height, width)
+    # bbox/confidence math happens in the UPRIGHT frame (reference
+    # corrective-rotate-then-OCR, focus_pytesseract.py:41-48)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    rot = detect_rotation(img, OCR_THRESHOLD)
+    if rot:
+        img = np.rot90(img, rot)
+        height, width = img.shape
+    text = recognizer.recognize(img.tobytes(), height, width)
     out = []
     for i, line in enumerate(text.split("\n") if text else []):
         if not line:
@@ -147,7 +163,6 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
         bbox = [[0, y0], [x1, y0], [x1, y1], [0, y1]]
         # confidence: re-render the decoded line and compare to the source
         # band cell-exactly (deterministic analog of model confidence)
-        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
         band = (img[y0:y0 + GLYPH_H] >= OCR_THRESHOLD).astype(np.uint8)
         from ..fonts import render_text
 

@@ -121,3 +121,33 @@ def test_boilerplate_rules():
     assert strip_boilerplate("plain text, no tags") == "plain text, no tags"
     assert strip_boilerplate("") == ""
     assert strip_boilerplate(None) == ""
+
+
+def test_rotation_detect_and_decode_roundtrip():
+    """M3/M4/M5 parity: rotated renders decode to the same text."""
+    import numpy as np
+
+    from ocr_spark.fonts import decode_bitmap, detect_rotation, render_text
+
+    texts = ["HELLO WORLD", "CODE 1234 5678 9012 3456\nSECOND LINE",
+             "A", "0123456789"]
+    for gt in texts:
+        img = render_text(gt)
+        for k in range(4):
+            rot = np.ascontiguousarray(np.rot90(img, k))
+            assert detect_rotation(rot) == (-k) % 4 or decode_bitmap(rot) == gt
+            assert decode_bitmap(rot) == gt, (gt, k)
+
+
+def test_recognizer_handles_rotated_blobs():
+    import numpy as np
+
+    from ocr_spark.fonts import render_text
+    from ocr_spark.operators.ocr import _Recognizer
+
+    r = _Recognizer.get()
+    gt = "GRID VALUE 1111 2222 3333 4444\nBATCH LINE"
+    img = render_text(gt, ink=200)
+    for k in range(4):
+        rot = np.ascontiguousarray(np.rot90(img, k))
+        assert r.recognize(rot.tobytes(), rot.shape[0], rot.shape[1]) == gt
