@@ -60,20 +60,9 @@ class _Recognizer:
             cls._instance = cls()
         return cls._instance
 
-    def recognize(self, pixels: bytes, height: int, width: int) -> str:
-        from ..fonts import detect_rotation
-
-        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-        # upright gate + corrective rotate (reference skew pipeline,
-        # /root/reference/src/ocr/focus_pytesseract.py:36-48): detect the
-        # 0/90/180/270 orientation by template alignment, de-rotate first
-        k = detect_rotation(img, OCR_THRESHOLD)
-        if k:
-            img = np.rot90(img, k)
-            height, width = img.shape
-        binary = (img >= OCR_THRESHOLD).astype(np.uint8)
-        if binary.size == 0 or not binary.any():
-            return ""
+    def _classify(self, binary: np.ndarray):
+        """Cell grid -> (char grid, mean min-Hamming over inked cells)."""
+        height, width = binary.shape
         n_lines = -(-height // LINE_PITCH)
         n_cells = -(-width // CHAR_PITCH)
         padded = np.zeros((n_lines * LINE_PITCH, n_cells * CHAR_PITCH),
@@ -88,10 +77,31 @@ class _Recognizer:
         blank = ~flat.any(axis=1)
         # vectorized Hamming distance to every template for every cell
         dists = (flat[:, None, :] != self.template_matrix[None, :, :]).sum(axis=2)
+        mins = dists.min(axis=1)
         chars = self.template_chars[np.argmin(dists, axis=1)]
         chars[blank] = " "
-        grid = chars.reshape(n_lines, n_cells)
-        lines = ["".join(row).rstrip() for row in grid]
+        inked = (~blank).sum()
+        score = mins[~blank].sum() / inked if inked else np.inf
+        return chars.reshape(n_lines, n_cells), score
+
+    def recognize(self, pixels: bytes, height: int, width: int) -> str:
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        binary = (img >= OCR_THRESHOLD).astype(np.uint8)
+        if binary.size == 0 or not binary.any():
+            return ""
+        # upright gate + corrective rotate fused with classification
+        # (reference skew pipeline, /root/reference/src/ocr/
+        # focus_pytesseract.py:36-48): try 0/90/180/270, keep the grid
+        # with the best template alignment; upright renders score 0 on
+        # the first candidate so the common case classifies ONCE.
+        best_grid, best_score = None, None
+        for k in (0, 1, 2, 3):
+            grid, score = self._classify(np.rot90(binary, k))
+            if best_score is None or score < best_score:
+                best_grid, best_score = grid, score
+                if score == 0:
+                    break
+        lines = ["".join(row).rstrip() for row in best_grid]
         while lines and not lines[-1]:
             lines.pop()
         return "\n".join(lines)
