@@ -493,6 +493,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dup pairs — the deliberately quadratic oracle for
+    the LSH family (quadratic in near-dup CLUSTER size; at 100 TB run it
+    on samples — dedup.py docstring). At bench scale it runs the full
+    table: ~2.6s at sf0.1 once the InferFiltersFromGenerate blowup is
+    excluded (ocr_spark/session.py)."""
     from ocr_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -500,9 +505,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (scale path). No SQL oracle —
-    hash-family semantics aren't ANSI-SQL-expressible; correctness is
-    pytest-checked against exact Jaccard (tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidates (scale path). Full DuckDB oracle:
+    the md5-derived affine hash family (functions/hashfam.py) is
+    recomputed verbatim in SQL; also pytest-checked against exact
+    Jaccard (tests/test_dedup_similarity.py)."""
     from ocr_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
@@ -512,8 +518,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; pytest-verified vs exact
-    Jaccard overlap)."""
+    """SimHash near-dup pairs. Full DuckDB oracle (md5-chunk bit votes);
+    pytest-verified vs exact Jaccard overlap as well."""
     from ocr_spark.operators.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -545,8 +551,10 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (sublinear scale path). Rows-only check; recall
-    vs the exact baseline is pytest-verified (tests/test_similarity.py)."""
+    """LSH-bucketed ANN (sublinear scale path). Full DuckDB oracle — the
+    md5-derived hyperplanes are inlined as SQL literals so buckets are
+    recomputed exactly; recall vs the exact baseline is pytest-verified
+    (tests/test_dedup_similarity.py)."""
     from ocr_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -599,6 +607,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles (ANSI SQL on the pre-registered parquet views)
 # --------------------------------------------------------------------------
+
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.9) -> str:
+    """DuckDB twin of dedup.minhash_lsh_candidates: same md5-derived affine
+    hash family (ocr_spark/functions/hashfam.py), same concat band keys."""
+    from ocr_spark.functions.hashfam import MINHASH_P, minhash_coeffs, sql_base60
+
+    coeffs = minhash_coeffs(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * base + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws(',', {cols}) AS band_key"
+        " FROM sig".format(
+            band=bi,
+            cols=", ".join(f"h{bi * rpb + j}" for j in range(rpb)),
+        )
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in generate_series(1, len(w) - 2)]) AS shingles
+          FROM toks WHERE len(w) >= 3
+        ), e AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), hb AS (
+          SELECT doc_id, {sql_base60('s')} AS base FROM e
+        ), sig AS (
+          SELECT doc_id,
+                   {mins}
+          FROM hb GROUP BY doc_id
+        ), banded AS (
+          {band_selects}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        ), est AS (
+          SELECT c.id_a, c.id_b,
+                 ({matches}) / {float(num_hashes)} AS ej
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, round(ej, 4) AS est_jaccard
+        FROM est WHERE ej >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3, prefix_bands: int = 4) -> str:
+    """DuckDB twin of dedup.simhash_neardup_pairs: md5-chunk bit votes,
+    two's-complement 64-bit pack (bit 63 via min-long add), slice banding."""
+    from ocr_spark.functions.hashfam import SQL_MIN_LONG, sql_chunk32
+
+    votes = ",\n                 ".join(
+        "sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        .format(src="h_lo" if j < 32 else "h_hi", sh=j % 32, j=j)
+        for j in range(64)
+    )
+    pack = " + ".join(
+        [f"(CASE WHEN v63 > 0 THEN {SQL_MIN_LONG} ELSE 0::BIGINT END)"]
+        + [
+            f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+            for j in range(63)
+        ]
+    )
+    slice_width = 64 // prefix_bands
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * slice_width}) & {(1 << slice_width) - 1} AS band_key"
+        " FROM fp"
+        for i in range(prefix_bands)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 {sql_chunk32('tok', 0)} AS h_lo,
+                 {sql_chunk32('tok', 1)} AS h_hi
+          FROM toks WHERE length(tok) > 0
+        ), votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM th GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id, ({pack}) AS simhash FROM votes
+        ), banded AS (
+          {band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of similarity.lsh_topk: the md5-derived hyperplanes are
+    inlined as DOUBLE[] literals, so bucket assignment is recomputed
+    exactly (same raw-vector float64 dot, same strict > 0 sign rule)."""
+    from ocr_spark.functions.hashfam import hyperplanes
+
+    planes = hyperplanes(num_planes, dim)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(vec, [{vals}]::DOUBLE[]) > 0"
+        " THEN {w}::BIGINT ELSE 0::BIGINT END)".format(
+            vals=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+          FROM embeddings
+        ), bucketed AS (
+          SELECT vec_id, vec, norm, ({bucket}) AS bucket FROM base
+        ), q AS (
+          SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm,
+                 bucket AS qbucket
+          FROM bucketed WHERE vec_id IN ({qids})
+        ), scored AS (
+          SELECT q.query_id, b.vec_id AS neighbor_id,
+                 round(list_dot_product(b.vec, q.qvec)
+                       / (b.norm * q.qnorm), 6) AS cos_sim
+          FROM bucketed b JOIN q
+            ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
 
 _EN = r"\b(the|a|and|of|to|for|at|is|in)\b"
 _DE = r"\b(der|die|das|und|ist|nicht|ein)\b"
@@ -916,7 +1077,9 @@ def oracle_sql() -> dict[str, str]:
             FROM base a JOIN base b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.9
         """,
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk: intentionally no
-        # SQL oracle (hash-family semantics); driver records rows-only,
-        # pytest verifies against exact baselines.
+        # Hash-family queries: the md5-derived family (functions/hashfam.py)
+        # is engine-neutral, so these get full value-hash oracles too.
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
     }

@@ -103,7 +103,10 @@ def run_flagship(spark, sf: float, warmup: bool = True,
             F.md5(F.to_json(F.struct("out_spans", "codes"))).alias("digest"),
         )
 
-    n_bad = _digest(result).exceptAll(_digest(expected)).count()
+    # Bidirectional gate: wrong/extra rows in result AND rows of expected
+    # that result dropped (a silently-empty result must NOT score 100%).
+    got, want = _digest(result), _digest(expected)
+    n_bad = got.exceptAll(want).count() + want.exceptAll(got).count()
     eq_pct = 100.0 * (n_docs - n_bad) / max(n_docs, 1)
     return {
         "n_docs": n_docs,

@@ -24,6 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashfam import (
+    MINHASH_P,
+    minhash_coeffs,
+    spark_base60,
+    spark_chunk32,
+)
 from ..functions.textstats import WS_SPLIT, fingerprint
 
 
@@ -105,15 +111,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: array<long> of length num_hashes.
 
-    Hash family: xxhash64(seed_i, shingle) — deterministic, JVM-side.
-    One groupBy(doc) aggregation; hot shingles never skew a join because
-    signatures reduce per-doc (map-side partial min).
+    Hash family (engine-neutral, see functions/hashfam.py): each shingle
+    is md5-hashed ONCE to a 60-bit base reduced mod P = 2^31-1; lane i is
+    the affine permutation (a_i * base + b_i) mod P with md5-derived
+    constants. The 64 min-aggregates are therefore two integer ops each —
+    all whole-stage codegen, no per-lane string hashing (round 1 spent
+    50 s at sf0.1 re-hashing the shingle per lane). One groupBy(doc)
+    aggregation; hot shingles never skew a join because signatures reduce
+    per-doc (map-side partial min).
     """
+    coeffs = minhash_coeffs(num_hashes)
+    based = shingle_rows.select("id", spark_base60("shingle").alias("base"))
     hashes = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
     ]
-    agg = shingle_rows.groupBy("id").agg(*hashes)
+    agg = based.groupBy("id").agg(*hashes)
     return agg.select(
         "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
     )
@@ -141,24 +156,26 @@ def minhash_lsh_candidates(
     sh = word_shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
 
+    # Band key is the comma-joined slice itself (engine-neutral; the DuckDB
+    # oracle reproduces it verbatim). ~40 bytes/band of shuffle width — the
+    # join key could be re-hashed to a long on a real cluster, but the key
+    # material must stay engine-recomputable.
     banded = sig.select(
         "id",
         "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "signature",
-                                bi * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda x: x.cast("string"),
+                lambda bi: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            "signature",
+                            bi * rows_per_band + 1,
+                            rows_per_band,
                         ),
-                    )
+                        lambda x: x.cast("string"),
+                    ),
                 ),
             )
         ).alias("band", "band_hash"),
@@ -205,15 +222,30 @@ def simhash_fingerprints(
     Token hashes vote per bit; fingerprint bit j is 1 iff the weighted sum
     of bit-j votes is positive. Entirely Catalyst expressions: explode ->
     64 conditional sums -> bit pack.
+
+    Engine-neutral hash family: the 64 token-hash bits are the first two
+    32-bit chunks of md5(token) (functions/hashfam.py), computed once per
+    token row in a projection BEFORE the aggregate so the md5 is not
+    re-evaluated per bit lane.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), WS_SPLIT)).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    toks = toks.select(
+        "id",
+        spark_chunk32("tok", 0).alias("h_lo"),
+        spark_chunk32("tok", 1).alias("h_hi"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("h_lo") if j < 32 else F.col("h_hi"), j % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(64)
     ]
@@ -267,7 +299,7 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -37,9 +37,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions import hashfam
+
 
 def _matrix(pdf_vecs: pd.Series) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf_vecs])
+
+
+def _id_sql_type(df: DataFrame, id_col: str) -> str:
+    """SQL type name of the id column, so mapInPandas output schemas stay
+    type-generic (string doc ids and long vec ids both work)."""
+    return df.schema[id_col].dataType.simpleString()
 
 
 def _normalized_rows(df: DataFrame, id_col: str, vec_col: str):
@@ -84,12 +92,13 @@ def cosine_topk(
                 "cos_sim": np.round(sims.ravel(), 6),
             })
 
+    id_t = _id_sql_type(emb, id_col)
     scored = (
         emb.select(F.col(id_col).alias("id"),
                    F.col(vec_col).cast("array<double>").alias("vec"))
         .mapInPandas(
             _score,
-            schema="query_id long, neighbor_id long, cos_sim double",
+            schema=f"query_id {id_t}, neighbor_id {id_t}, cos_sim double",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -132,26 +141,30 @@ def embedding_neardup_pairs(
                 "cos_sim": sims[ai, bi],
             })
 
+    id_t = _id_sql_type(emb, id_col)
     return (
         emb.select(F.col(id_col).alias("id"),
                    F.col(vec_col).cast("array<double>").alias("vec"))
-        .mapInPandas(_pairs, schema="id_a long, id_b long, cos_sim double")
+        .mapInPandas(
+            _pairs, schema=f"id_a {id_t}, id_b {id_t}, cos_sim double"
+        )
     )
 
 
-def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((num_planes, dim))
+def _hyperplanes(dim: int, num_planes: int) -> np.ndarray:
+    """md5-derived deterministic hyperplanes (functions/hashfam.py) so the
+    DuckDB oracle can inline the exact same values and recompute buckets."""
+    return np.asarray(hashfam.hyperplanes(num_planes, dim), dtype=np.float64)
 
 
 def with_lsh_buckets(
     emb: DataFrame, id_col: str, vec_col: str,
-    num_planes: int = 8, seed: int = 42,
+    num_planes: int = 8,
 ) -> DataFrame:
     """(id, vec, norm, bucket): sign-bit bucket of hyperplane projections,
     computed as one matmul per Arrow batch."""
     dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_planes, seed)
+    planes = _hyperplanes(dim, num_planes)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 
@@ -166,11 +179,12 @@ def with_lsh_buckets(
             pdf["bucket"] = bits @ weights
             yield pdf
 
+    id_t = _id_sql_type(emb, id_col)
     base = emb.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("vec"))
     return base.mapInPandas(
         _bucketize,
-        schema="id long, vec array<double>, norm double, bucket long",
+        schema=f"id {id_t}, vec array<double>, norm double, bucket long",
     )
 
 
@@ -181,15 +195,16 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 10,
     num_planes: int = 8,
-    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket of the query.
 
     Sublinear scale path — the equi-join on bucket replaces the cross
     join. Returns (query_id, neighbor_id, cos_sim, rank) over candidates
-    only (recall < 1 by design; tested against cosine_topk for overlap).
+    only (recall < 1 by design; tested against cosine_topk for overlap,
+    and — since the hyperplanes are md5-derived constants — exactly
+    reproduced by the DuckDB oracle, buckets included).
     """
-    base = with_lsh_buckets(emb, id_col, vec_col, num_planes, seed)
+    base = with_lsh_buckets(emb, id_col, vec_col, num_planes)
     queries = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),

@@ -61,6 +61,17 @@ def get_spark(
         # scaling is measurable.
         .config("spark.sql.files.maxPartitionBytes", "4194304")
         .config("spark.sql.files.openCostInBytes", "262144")
+        # InferFiltersFromGenerate turns explode(f(x)) into
+        # Filter(size(f(x))>0) + Generate(f(x)) with f fully re-inlined in
+        # the filter; for shingling, f contains element_at(split(text),i)
+        # per position, so the inferred filter re-runs split() per element
+        # — O(len^2) per document (measured 9.5s -> 0.7s at sf0.1 for
+        # dedup.word_shingles). The rule only ever skips empty-array rows
+        # early, which Generate does anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
