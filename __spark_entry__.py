@@ -413,6 +413,107 @@ def f11_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# media pipeline over rendered documents: crop variants + quadrant spans.
+# The Spark side REALLY renders bitmaps and OCRs them (mapInPandas over
+# fonts.render_text -> operators/ocr.py); the DuckDB oracle computes the
+# expected output analytically from the text geometry (fixed 6x10 pitch),
+# which is possible because the renderer/recognizer pair is exactly
+# invertible. This makes the whole render -> crop -> OCR -> span path a
+# value-hash-checked driver query, not just a pytest.
+# --------------------------------------------------------------------------
+
+RENDER_W = 24          # chars per rendered line
+RENDER_MAX_CHARS = 192  # cap at 8 lines
+
+
+def _render_prep(docs: DataFrame) -> DataFrame:
+    """(doc_id, rtext): ASCII-safe, space-collapsed, 192-char-capped text.
+
+    Every step is reproduced verbatim in the oracle SQL (ASCII-only ops,
+    no locale-dependent behavior)."""
+    c1 = F.regexp_replace("text", "[^0-9A-Za-z .:/-]", "-")
+    c2 = F.regexp_replace(c1, " +", " ")
+    t = F.rtrim(F.substring(F.trim(F.upper(c2)), 1, RENDER_MAX_CHARS))
+    return docs.select("doc_id", t.alias("rtext")).filter(
+        F.length("rtext") > 0
+    )
+
+
+def _rendered_doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render each prepped doc text to a bitmap blob: RENDER_W-char lines,
+    padded with a '.' line to an even line count (so half crops land on
+    line-band boundaries)."""
+    from pyspark.sql import types as T
+
+    from ocr_spark.fonts import render_text
+
+    prep = _render_prep(_t(spark, sf_dir, "documents"))
+
+    def _render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["rtext"]):
+                chunks = [t[i:i + RENDER_W]
+                          for i in range(0, len(t), RENDER_W)]
+                if len(chunks) % 2:
+                    chunks.append(".")
+                img = render_text("\n".join(chunks))
+                rows.append((str(doc_id), img.shape[1], img.shape[0],
+                             img.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "pixels"])
+
+    schema = T.StructType([
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ])
+    return prep.mapInPandas(_render, schema=schema)
+
+
+def m6_crop_half_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-variant cascade (reference M6-M8 split/crop vocabulary): render
+    docs, crop top/bottom halves, OCR each crop, return per-crop text."""
+    from ocr_spark.operators.ocr import crop_blob_variants, recognize_blobs
+
+    blobs = _rendered_doc_blobs(spark, sf_dir)
+    crops = crop_blob_variants(blobs, modes=("top_half", "bottom_half"))
+    out = recognize_blobs(
+        crops.select(
+            F.concat_ws("#", "media_ref", "crop").alias("media_ref"),
+            "height", "width", "pixels",
+        )
+    )
+    parts = F.split("media_ref", "#")
+    return out.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("crop"),
+        F.col("text").alias("crop_text"),
+    )
+
+
+def r4_quadrant_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCRResult-shaped span records over rendered docs: line_no, text,
+    half-section and quarter label (reference EasyOCR span records +
+    quarter crop vocabulary)."""
+    from ocr_spark.operators.ocr import recognize_blob_spans
+
+    blobs = _rendered_doc_blobs(spark, sf_dir)
+    spans = recognize_blob_spans(blobs)
+    return spans.select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        F.col("line_no").cast("long").alias("line_no"),
+        F.col("text").alias("line_text"),
+        "confidence",
+        "section",
+        "quadrant",
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline: text analysis
 # --------------------------------------------------------------------------
 
@@ -589,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_scan_filter_project": s5_scan_filter_project,
         "f11_json_props": f11_json_props,
         "q4_windowed_event_rate": q4_windowed_event_rate,
+        "m6_crop_half_ocr": m6_crop_half_ocr,
+        "r4_quadrant_spans": r4_quadrant_spans,
         "text_token_count_bpe": text_token_count_bpe,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
@@ -607,6 +710,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles (ANSI SQL on the pre-registered parquet views)
 # --------------------------------------------------------------------------
+
+_RENDER_LINES_CTE = rf"""
+        WITH prep AS (
+          SELECT doc_id,
+                 rtrim(substr(trim(upper(regexp_replace(
+                     regexp_replace(text, '[^0-9A-Za-z .:/-]', '-', 'g'),
+                     ' +', ' ', 'g'))), 1, {RENDER_MAX_CHARS})) AS t
+          FROM documents
+        ), base AS (
+          SELECT doc_id, t,
+                 cast(ceil(length(t) / {RENDER_W}.0) AS BIGINT) AS n
+          FROM prep WHERE length(t) > 0
+        ), lines AS (
+          SELECT doc_id,
+                 CASE WHEN n % 2 = 1
+                      THEN list_append(
+                        [rtrim(substr(t, i*{RENDER_W}+1, {RENDER_W}))
+                         for i in generate_series(0, n-1)], '.')
+                      ELSE [rtrim(substr(t, i*{RENDER_W}+1, {RENDER_W}))
+                            for i in generate_series(0, n-1)]
+                 END AS ls
+          FROM base
+        )
+"""
+
+
+def _m6_crop_oracle() -> str:
+    """Analytic twin of m6_crop_half_ocr: the rendered-then-OCR'd crop text
+    equals the corresponding line-chunk slice (renderer/recognizer are
+    exact inverses; half crops land on line-band boundaries because the
+    line count is padded even)."""
+    return _RENDER_LINES_CTE + """
+        SELECT doc_id, 'top_half' AS crop,
+               array_to_string(ls[1:len(ls)//2], chr(10)) AS crop_text
+        FROM lines
+        UNION ALL
+        SELECT doc_id, 'bottom_half' AS crop,
+               array_to_string(ls[len(ls)//2+1:len(ls)], chr(10)) AS crop_text
+        FROM lines
+    """
+
+
+def _r4_quadrant_oracle() -> str:
+    """Analytic twin of r4_quadrant_spans over the 6x10 glyph-pitch
+    geometry: y0 = 10*line_no, line band height 7, width = 6*max line
+    length; section tests y0 against height/2, quadrant tests the bbox
+    center (operators/ocr.py _line_spans, preprocess.quadrant_of)."""
+    return _RENDER_LINES_CTE + """
+        , ex AS (
+          SELECT doc_id, ls, len(ls) AS nl,
+                 list_max([length(x) for x in ls]) AS max_len,
+                 unnest(generate_series(0, len(ls) - 1)) AS i
+          FROM lines
+        )
+        SELECT doc_id, i AS line_no, ls[i + 1] AS line_text,
+               CAST(1.0 AS DOUBLE) AS confidence,
+               CASE WHEN i * 2 < nl THEN 'top_half'
+                    ELSE 'bottom_half' END AS section,
+               CASE WHEN 20 * i + 7 >= 10 * nl THEN
+                      CASE WHEN length(ls[i + 1]) >= max_len
+                           THEN 'quarter_4' ELSE 'quarter_3' END
+                    ELSE
+                      CASE WHEN length(ls[i + 1]) >= max_len
+                           THEN 'quarter_2' ELSE 'quarter_1' END
+               END AS quadrant
+        FROM ex
+    """
+
 
 def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16,
                         threshold: float = 0.9) -> str:
@@ -1082,4 +1253,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        # Rendered-media pipeline: Spark really renders + crops + OCRs;
+        # the oracle recomputes the result from text geometry (the
+        # renderer/recognizer pair is exactly invertible).
+        "m6_crop_half_ocr": _m6_crop_oracle(),
+        "r4_quadrant_spans": _r4_quadrant_oracle(),
     }

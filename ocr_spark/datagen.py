@@ -176,7 +176,17 @@ def _make_blob(bi: int, seed: int) -> dict:
     """One media blob, from a per-blob RNG (order-independent, shardable).
 
     RNG seeds are md5-derived ints (stable across processes and runs).
+
+    Stored variants mirror the reference's preprocessing surface
+    (ocr_spark/preprocess.py docstring): salt speckles (median-denoise
+    analog), nearest-neighbor upscale (optimizeForOCR scale), 90-degree
+    rotations, and framed row-shear warps (dewarp analog). Speckle and
+    upscale compose with rotation; warp composes with rotation only (the
+    document frame must stay the outermost contour). The recognizer must
+    invert every variant exactly — ground_text is the golden.
     """
+    from .preprocess import add_speckles, upscale, warp_image
+
     rng = random.Random(_item_seed(seed, 0, bi))
     ref = f"img-{bi:08d}"
     if rng.random() < 0.05:
@@ -185,19 +195,37 @@ def _make_blob(bi: int, seed: int) -> dict:
         noise = np.array(
             [rng.randrange(0, 60) for _ in range(h * w)], dtype=np.uint8
         ).reshape(h, w)
-        img, gt = noise, ""
+        img, gt, variant = noise, "", "noise"
     else:
         n_codes = 1 if rng.random() < 0.5 else 0
         codes = [_code(rng) for _ in range(n_codes)]
         gt = make_ground_text(rng, codes)
         ink = rng.choice([255, 200, 160, 90])  # incl. low-contrast
         img = render_text(gt, ink=ink)
+        tags = []
+        warped = rng.random() < 0.10
+        if not warped and rng.random() < 0.10:
+            n = max(4, img.size // 150)
+            img = add_speckles(img, rng, n, ink=ink)
+            tags.append("speckled")
+        if not warped and rng.random() < 0.08:
+            img = upscale(img, rng.choice([2, 3]))
+            tags.append("upscaled")
         if rng.random() < 0.15:
             # stored rotated (reference rotation fixtures,
             # image_utils.py:238-265); recognizer must de-rotate
             img = np.ascontiguousarray(np.rot90(img, rng.choice([1, 2, 3])))
+            tags.append("rotated")
+        if warped:
+            # framed + row-sheared "photographed document" (reference
+            # dewarp fixtures, image_utils.py:123-235)
+            slope_den = 16
+            slope_num = rng.choice([-8, -5, -3, 3, 5, 8])
+            img = warp_image(img, slope_num, slope_den, ink=ink)
+            tags.append("warped")
+        variant = "+".join(tags) if tags else "plain"
     return {"media_ref": ref, "width": img.shape[1], "height": img.shape[0],
-            "pixels": img.tobytes(), "ground_text": gt}
+            "pixels": img.tobytes(), "ground_text": gt, "variant": variant}
 
 
 def _make_doc(di: int, seed: int, blob_refs: list[str],
@@ -312,7 +340,7 @@ def generate_corpus(n_docs: int, seed: int = SEED,
     blob_text = {b["media_ref"]: b["ground_text"] for b in blob_list}
     blob_rows = {k: [b[k] for b in blob_list]
                  for k in ("media_ref", "width", "height", "pixels",
-                           "ground_text")}
+                           "ground_text", "variant")}
 
     pairs = _fan(_doc_chunk, n_docs, (blob_refs, blob_text))
     doc_rows = {"doc_id": [p[0]["doc_id"] for p in pairs],
@@ -339,6 +367,7 @@ def generate_corpus(n_docs: int, seed: int = SEED,
         "height": pa.array(blob_rows["height"], pa.int32()),
         "pixels": pa.array(blob_rows["pixels"], pa.binary()),
         "ground_text": pa.array(blob_rows["ground_text"], pa.string()),
+        "variant": pa.array(blob_rows["variant"], pa.string()),
     })
     expected_tbl = pa.table({
         "doc_id": pa.array(exp_rows["doc_id"], pa.string()),
@@ -369,7 +398,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=5 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=6 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

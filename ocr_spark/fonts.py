@@ -108,7 +108,11 @@ def detect_rotation(img: np.ndarray, threshold: int = 64) -> int:
             .transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W]
         )
         flat = cells.reshape(-1, GLYPH_H * GLYPH_W)
-        inked = flat[flat.any(axis=1)]
+        # cells at/below the speckle budget are noise, not glyphs (real
+        # glyphs carry >= 4 forced corner px) — see preprocess.py denoise
+        from .preprocess import SPECKLE_INK_MAX
+
+        inked = flat[flat.sum(axis=1) > SPECKLE_INK_MAX]
         if inked.size == 0:
             continue
         dists = (inked[:, None, :] != TEMPLATE_MATRIX[None, :, :]).sum(axis=2)
@@ -125,7 +129,16 @@ def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
 
     Pure-numpy reference decoder used by tests as the oracle; the Spark-side
     recognizer in operators/ocr.py implements the same algorithm batched.
+
+    Preprocessing chain (mirrors the reference's dewarp + optimizeForOCR
+    order, see preprocess.py): rectify framed row-shear warps, collapse
+    integer upscales, then de-rotate; cell-level denoise happens inside
+    classification (speckle-budget blank rule).
     """
+    from .preprocess import SPECKLE_INK_MAX, try_collapse_upscale, try_dewarp
+
+    img = try_dewarp(img, threshold)
+    img = try_collapse_upscale(img)
     k = detect_rotation(img, threshold)
     if k:
         img = np.rot90(img, k)
@@ -144,7 +157,7 @@ def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
             cell = np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
             patch = band[:, x : x + GLYPH_W]
             cell[: patch.shape[0], : patch.shape[1]] = patch
-            if not cell.any():
+            if cell.sum() <= SPECKLE_INK_MAX:
                 chars.append(" ")
                 continue
             flat = cell.reshape(-1)

@@ -60,6 +60,16 @@ class _Recognizer:
             cls._instance = cls()
         return cls._instance
 
+    @staticmethod
+    def preprocess(img: np.ndarray) -> np.ndarray:
+        """Dewarp-then-descale chain (reference order: dewarp before
+        optimizeForOCR, cli.py:148-157; both gated, identity on plain
+        renders — see preprocess.py)."""
+        from ..preprocess import try_collapse_upscale, try_dewarp
+
+        img = try_dewarp(img, OCR_THRESHOLD)
+        return try_collapse_upscale(img)
+
     def _classify(self, binary: np.ndarray):
         """Cell grid -> (char grid, mean min-Hamming over inked cells)."""
         height, width = binary.shape
@@ -74,7 +84,11 @@ class _Recognizer:
             .transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W]
         )
         flat = cells.reshape(n_lines * n_cells, GLYPH_H * GLYPH_W)
-        blank = ~flat.any(axis=1)
+        # cell-level denoise (preprocess.py): cells at/below the speckle
+        # budget are blank — glyphs always carry >= 4 forced corner px
+        from ..preprocess import SPECKLE_INK_MAX
+
+        blank = flat.sum(axis=1) <= SPECKLE_INK_MAX
         # vectorized Hamming distance to every template for every cell
         dists = (flat[:, None, :] != self.template_matrix[None, :, :]).sum(axis=2)
         mins = dists.min(axis=1)
@@ -86,6 +100,7 @@ class _Recognizer:
 
     def recognize(self, pixels: bytes, height: int, width: int) -> str:
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        img = self.preprocess(img)
         binary = (img >= OCR_THRESHOLD).astype(np.uint8)
         if binary.size == 0 or not binary.any():
             return ""
@@ -138,6 +153,7 @@ OCR_SPAN_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("confidence", T.DoubleType()),
     T.StructField("section", T.StringType()),
+    T.StructField("quadrant", T.StringType()),
 ])
 
 
@@ -154,14 +170,17 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
     easyocr_impl.py:183-188).
     """
     from ..fonts import CHAR_PITCH, GLYPH_H, LINE_PITCH, detect_rotation
+    from ..preprocess import quadrant_of
 
-    # bbox/confidence math happens in the UPRIGHT frame (reference
-    # corrective-rotate-then-OCR, focus_pytesseract.py:41-48)
+    # bbox/confidence math happens in the RECTIFIED UPRIGHT frame
+    # (reference order: dewarp -> optimize -> corrective rotate -> OCR,
+    # cli.py:148-157, focus_pytesseract.py:41-48)
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    img = recognizer.preprocess(img)
     rot = detect_rotation(img, OCR_THRESHOLD)
     if rot:
         img = np.rot90(img, rot)
-        height, width = img.shape
+    height, width = img.shape
     text = recognizer.recognize(img.tobytes(), height, width)
     out = []
     for i, line in enumerate(text.split("\n") if text else []):
@@ -191,7 +210,10 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
                 wrong += 1
         conf = round(1.0 - wrong / total, 4)
         section = "top_half" if y0 < height / 2 else "bottom_half"
-        out.append((i, bbox, line, conf, section))
+        # quarter label of the line's bbox center (reference quarter crop
+        # vocabulary, image_utils.py:78-114 via preprocess.quadrant_of)
+        quadrant = quadrant_of(x1 / 2, (y0 + y1) / 2, width, height)
+        out.append((i, bbox, line, conf, section, quadrant))
     return out
 
 
@@ -201,19 +223,66 @@ def _ocr_span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         rows = []
         for ref, px, h, w in zip(pdf["media_ref"], pdf["pixels"],
                                  pdf["height"], pdf["width"]):
-            for line_no, bbox, text, conf, section in _line_spans(
+            for line_no, bbox, text, conf, section, quadrant in _line_spans(
                     recognizer, px, h, w):
-                rows.append((ref, line_no, bbox, text, conf, section))
+                rows.append((ref, line_no, bbox, text, conf, section,
+                             quadrant))
         yield pd.DataFrame(
             rows,
             columns=["media_ref", "line_no", "bbox", "text",
-                     "confidence", "section"],
+                     "confidence", "section", "quadrant"],
         )
 
 
 def recognize_blob_spans(blobs: DataFrame) -> DataFrame:
     """(media_ref, width, height, pixels) -> one row per recognized line
-    in the reference's OCRResult shape (bbox, text, confidence, section).
-    """
+    in the reference's OCRResult shape (bbox, text, confidence, section,
+    quadrant)."""
     cols = blobs.select("media_ref", "height", "width", "pixels")
     return cols.mapInPandas(_ocr_span_batches, schema=OCR_SPAN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# crop variants: the reference's split/crop cascade as a DataFrame operator
+# ---------------------------------------------------------------------------
+
+CROP_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("crop", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+])
+
+
+def crop_blob_variants(blobs: DataFrame, modes: tuple[str, ...] | None = None,
+                       ratio: float = 0.5) -> DataFrame:
+    """Explode each blob into named crop variants (reference
+    cropImageVariants halves + quarter splits + ratio splits,
+    /root/reference/src/ocr/image_utils.js:23-67,
+    image_utils/split-image.js:31-101, image_utils.py:60-114).
+
+    Scale note: this multiplies pixel bytes by len(modes) — in the
+    reference it feeds the per-image recall cascade; here it is a map-side
+    projection (no shuffle) and the recognizer still runs once per
+    distinct (ref, crop)."""
+    from ..preprocess import CROP_MODES, QUARTER_MODES, crop_image
+
+    modes = tuple(modes) if modes else CROP_MODES + QUARTER_MODES
+
+    def _crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, px, h, w in zip(pdf["media_ref"], pdf["pixels"],
+                                     pdf["height"], pdf["width"]):
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                for mode in modes:
+                    c = crop_image(img, mode, ratio)
+                    rows.append((ref, mode, c.shape[1], c.shape[0],
+                                 c.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "crop", "width", "height",
+                               "pixels"])
+
+    cols = blobs.select("media_ref", "height", "width", "pixels")
+    return cols.mapInPandas(_crop, schema=CROP_OUTPUT_SCHEMA)

@@ -1,0 +1,214 @@
+"""Deterministic image-preprocessing analogs of the reference's chain.
+
+The reference preprocesses every image before recognition:
+
+  * dewarp: adaptive threshold -> largest contour -> 4-corner perspective
+    rectify (/root/reference/src/ocr/image_utils.py:123-235), run on every
+    image in both the CLI path (cli.py:148-157) and the focus path
+    (focus_pytesseract.py:49-55).
+  * optimizeForOCR: grayscale -> upscale x2 (cubic) -> contrast/brightness
+    -> sharpen -> median denoise -> normalize
+    (/root/reference/src/ocr/image_utils/optimize-image.js:11-62,
+    focus_impl.py:21-51).
+  * crop variants: full / top_half / bottom_half / left_half / right_half
+    and quarters, driving the recall cascade
+    (/root/reference/src/ocr/image_utils.js:23-67,
+    image_utils/split-image.js:31-101, image_utils.py:60-114).
+
+Those operators are continuous-image transforms; this engine's correctness
+bar is EXACT span equality, so each gets an exactly-invertible analog over
+the synthetic bitmap font:
+
+  * warp_image / try_dewarp — the corpus stores "photographed" variants:
+    the render is framed by a 1-px document border (the contour the
+    reference detects) and row-sheared by an integer-shift linear ramp (a
+    rasterized affine shear = small-skew perspective). try_dewarp detects
+    the frame (every row inked, constant row width, solid top/bottom
+    borders — the 4-corner test), shifts each row back by its left-border
+    offset and crops the frame: bit-exact inverse. The shear slope is the
+    analog of the reference's continuous skew angle (-45..+45 deg,
+    image_utils.py:268-306): skew = atan(slope).
+  * upscale / try_collapse_upscale — nearest-neighbor integer upscale
+    (reference scale=2) stored in the corpus; recognition detects
+    k-block-constant images and collapses them: bit-exact inverse.
+  * speckle noise / cell-level denoise — the corpus adds salt speckles
+    (<= MAX_SPECKLES_PER_CELL per glyph cell); the classifier treats any
+    cell with <= SPECKLE_INK_MAX ink pixels as blank (real glyphs always
+    carry >= 4 forced corner pixels plus md5 bits), and speckles landing
+    inside a glyph cell only add Hamming distance well under half the
+    minimum inter-template distance (7). This is the denoise step of
+    optimizeForOCR, restated as a rule the 5x7-cell domain makes exact.
+    Sharpen/contrast/normalize have no behavioral surface in a binary
+    domain beyond the threshold binarize itself (operators/ocr.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FRAME_MARGIN = 2          # frame line + 1 blank row/col on each side
+SPECKLE_INK_MAX = 2       # cells with <= this many ink px are noise
+MAX_SPECKLES_PER_CELL = 2
+UPSCALE_FACTORS = (3, 2)  # detection order (largest first)
+
+
+# --------------------------------------------------------------------------
+# warp (datagen side) / dewarp (recognizer side)
+# --------------------------------------------------------------------------
+
+def warp_image(img: np.ndarray, slope_num: int, slope_den: int,
+               ink: int = 255) -> np.ndarray:
+    """Frame the image with a 1-px document border and apply an integer
+    row-shear: row y is shifted right by (y * slope_num) // slope_den
+    (normalized to non-negative). Exactly inverted by try_dewarp."""
+    h, w = img.shape
+    m = FRAME_MARGIN
+    fh, fw = h + 2 * m, w + 2 * m
+    framed = np.zeros((fh, fw), dtype=np.uint8)
+    framed[m:m + h, m:m + w] = img
+    framed[0, :] = framed[-1, :] = ink
+    framed[:, 0] = framed[:, -1] = ink
+    shifts = (np.arange(fh, dtype=np.int64) * slope_num) // slope_den
+    shifts -= shifts.min()
+    out = np.zeros((fh, fw + int(shifts.max())), dtype=np.uint8)
+    for y in range(fh):
+        out[y, shifts[y]:shifts[y] + fw] = framed[y]
+    return out
+
+
+def try_dewarp(img: np.ndarray, threshold: int) -> np.ndarray:
+    """Rectify a framed row-sheared image; return `img` unchanged when no
+    document frame is detected (the reference's could-not-find-4-corners
+    fallback, image_utils.py:219-235).
+
+    Frame signature (binarized): every row between the first and last
+    inked row carries ink, the inked row width is constant, and the first
+    and last rows are solid ink runs (top/bottom borders). Plain renders
+    fail the every-row test (blank line gaps); rotated plain renders fail
+    it at the char-pitch separator columns.
+    """
+    b = img >= threshold
+    rows_any = b.any(axis=1)
+    if not rows_any.any():
+        return img
+    inked = np.flatnonzero(rows_any)
+    y0, y1 = int(inked[0]), int(inked[-1])
+    if y1 - y0 < 2 * FRAME_MARGIN:
+        return img
+    if not rows_any[y0:y1 + 1].all():
+        return img
+    band = b[y0:y1 + 1]
+    xs_min = band.argmax(axis=1)
+    xs_max = band.shape[1] - 1 - band[:, ::-1].argmax(axis=1)
+    widths = xs_max - xs_min
+    if not (widths == widths[0]).all():
+        return img
+    fw = int(widths[0]) + 1
+    if fw < 2 * FRAME_MARGIN + 1:
+        return img
+    if not (band[0, xs_min[0]:xs_max[0] + 1].all()
+            and band[-1, xs_min[-1]:xs_max[-1] + 1].all()):
+        return img
+    rect = np.zeros((y1 - y0 + 1, fw), dtype=img.dtype)
+    for i, y in enumerate(range(y0, y1 + 1)):
+        rect[i] = img[y, xs_min[i]:xs_min[i] + fw]
+    m = FRAME_MARGIN
+    return np.ascontiguousarray(rect[m:-m, m:-m])
+
+
+# --------------------------------------------------------------------------
+# upscale (datagen side) / collapse (recognizer side)
+# --------------------------------------------------------------------------
+
+def upscale(img: np.ndarray, k: int) -> np.ndarray:
+    """Nearest-neighbor integer upscale (reference optimizeForOCR scale=2,
+    optimize-image.js:28-32, made exactly invertible)."""
+    return np.ascontiguousarray(np.repeat(np.repeat(img, k, axis=0), k, axis=1))
+
+
+def try_collapse_upscale(img: np.ndarray) -> np.ndarray:
+    """Collapse a k-block-constant image back to base resolution (largest
+    k in UPSCALE_FACTORS whose blocks are all constant); identity when the
+    image is not an integer upscale (1-px glyph features break block
+    constancy on plain renders)."""
+    h, w = img.shape
+    for k in UPSCALE_FACTORS:
+        if k < 2 or h % k or w % k or h == 0 or w == 0:
+            continue
+        blocks = img.reshape(h // k, k, w // k, k)
+        if (blocks == blocks[:, :1, :, :1]).all():
+            return np.ascontiguousarray(blocks[:, 0, :, 0])
+    return img
+
+
+# --------------------------------------------------------------------------
+# speckle noise (datagen side) — the denoise rule lives in the classifier
+# --------------------------------------------------------------------------
+
+def add_speckles(img: np.ndarray, rng, n: int, ink: int = 255) -> np.ndarray:
+    """Salt noise over a rendered text image, respecting the per-cell
+    budget that keeps cell-level denoise exact (<= MAX_SPECKLES_PER_CELL
+    added ink px per glyph cell). Mutates a copy; returns it."""
+    from .fonts import CHAR_PITCH, LINE_PITCH
+
+    out = img.copy()
+    budget: dict[tuple[int, int], int] = {}
+    placed = 0
+    for _ in range(n * 8):  # bounded retry
+        if placed >= n:
+            break
+        y = rng.randrange(out.shape[0])
+        x = rng.randrange(out.shape[1])
+        cell = (y // LINE_PITCH, x // CHAR_PITCH)
+        if budget.get(cell, 0) >= MAX_SPECKLES_PER_CELL:
+            continue
+        if out[y, x]:
+            continue  # only background pixels become salt
+        out[y, x] = ink
+        budget[cell] = budget.get(cell, 0) + 1
+        placed += 1
+    return out
+
+
+# --------------------------------------------------------------------------
+# crop variants (reference cropImageVariants / splitImage vocabulary)
+# --------------------------------------------------------------------------
+
+CROP_MODES = ("full", "top_half", "bottom_half", "left_half", "right_half")
+QUARTER_MODES = ("quarter_1", "quarter_2", "quarter_3", "quarter_4")
+
+
+def crop_region(width: int, height: int, mode: str,
+                ratio: float = 0.5) -> tuple[int, int, int, int]:
+    """(left, top, w, h) of a named crop — the reference's crop regions
+    (image_utils.js:29-41 halves, image_utils.py:60-114 quarters,
+    split-image.js:60-78 ratio splits)."""
+    mw, mh = int(width * ratio), int(height * ratio)
+    regions = {
+        "full": (0, 0, width, height),
+        "top_half": (0, 0, width, mh),
+        "bottom_half": (0, mh, width, height - mh),
+        "left_half": (0, 0, mw, height),
+        "right_half": (mw, 0, width - mw, height),
+        "quarter_1": (0, 0, mw, mh),
+        "quarter_2": (mw, 0, width - mw, mh),
+        "quarter_3": (0, mh, mw, height - mh),
+        "quarter_4": (mw, mh, width - mw, height - mh),
+    }
+    if mode not in regions:
+        raise ValueError(f"unknown crop mode: {mode}")
+    return regions[mode]
+
+
+def crop_image(img: np.ndarray, mode: str, ratio: float = 0.5) -> np.ndarray:
+    left, top, w, h = crop_region(img.shape[1], img.shape[0], mode, ratio)
+    return np.ascontiguousarray(img[top:top + h, left:left + w])
+
+
+def quadrant_of(x_center: float, y_center: float,
+                width: int, height: int) -> str:
+    """Quarter label of a point (reference quarter numbering: 1=TL, 2=TR,
+    3=BL, 4=BR — image_utils.py:78-114)."""
+    right = x_center >= width / 2
+    bottom = y_center >= height / 2
+    return QUARTER_MODES[(2 if bottom else 0) + (1 if right else 0)]

@@ -1,0 +1,162 @@
+"""Exactly-invertible preprocessing analogs (preprocess.py): warp/dewarp,
+upscale/collapse, speckle/denoise, crop vocabulary — M1/M2/M6-M11 parity."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.fonts import decode_bitmap, render_text  # noqa: E402
+from ocr_spark.preprocess import (  # noqa: E402
+    CROP_MODES,
+    QUARTER_MODES,
+    add_speckles,
+    crop_image,
+    crop_region,
+    quadrant_of,
+    try_collapse_upscale,
+    try_dewarp,
+    upscale,
+    warp_image,
+)
+
+TEXTS = [
+    "VOUCHER 1234 5678 9012 3456",
+    "GRID VALUE\nTOKEN BATCH QUERY",
+    "A",
+    "CLAIM REDEEM\nOFFER TOTAL\nLINE ORDER PART",
+]
+
+
+@pytest.mark.parametrize("text", TEXTS)
+@pytest.mark.parametrize("slope", [-8, -3, 3, 5, 8])
+def test_warp_dewarp_roundtrip(text, slope):
+    img = render_text(text)
+    warped = warp_image(img, slope, 16)
+    assert warped.shape != img.shape
+    rect = try_dewarp(warped, 64)
+    assert np.array_equal(rect, img)
+    assert decode_bitmap(warped) == text
+
+
+def test_dewarp_identity_on_unframed():
+    for text in TEXTS:
+        img = render_text(text)
+        assert try_dewarp(img, 64) is img
+        rot = np.ascontiguousarray(np.rot90(img, 1))
+        assert try_dewarp(rot, 64) is rot
+
+
+def test_warp_composes_with_rotation():
+    img = render_text("TOKEN 9999 8888 7777 6666\nBATCH LINE")
+    for k in (1, 2, 3):
+        rot = np.ascontiguousarray(np.rot90(img, k))
+        warped = warp_image(rot, 5, 16)
+        assert decode_bitmap(warped) == "TOKEN 9999 8888 7777 6666\nBATCH LINE"
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_upscale_collapse_roundtrip(k):
+    img = render_text("SCAN SORT JOIN\nGROUP WINDOW")
+    up = upscale(img, k)
+    assert up.shape == (img.shape[0] * k, img.shape[1] * k)
+    assert np.array_equal(try_collapse_upscale(up), img)
+    assert decode_bitmap(up) == "SCAN SORT JOIN\nGROUP WINDOW"
+
+
+def test_collapse_identity_on_plain():
+    img = render_text("STREAM CODE VOUCHER CARD")
+    assert try_collapse_upscale(img) is img
+
+
+def test_speckle_denoise_decode():
+    rng = random.Random(7)
+    for text in TEXTS:
+        img = render_text(text)
+        noisy = add_speckles(img, rng, max(4, img.size // 150))
+        assert (noisy != img).sum() > 0
+        assert decode_bitmap(noisy) == text
+
+
+def test_speckle_upscale_rotate_compose():
+    rng = random.Random(11)
+    text = "MERGE SCAN 4321 8765 2109 6543"
+    img = add_speckles(render_text(text), rng, 12)
+    up = upscale(img, 2)
+    for k in (0, 1, 2, 3):
+        rot = np.ascontiguousarray(np.rot90(up, k))
+        assert decode_bitmap(rot) == text
+
+
+def test_crop_regions_tile_the_image():
+    w, h = 31, 17
+    for pair in (("top_half", "bottom_half"), ("left_half", "right_half")):
+        areas = [crop_region(w, h, m) for m in pair]
+        assert sum(cw * ch for _, _, cw, ch in areas) == w * h
+    q_areas = [crop_region(w, h, m) for m in QUARTER_MODES]
+    assert sum(cw * ch for _, _, cw, ch in q_areas) == w * h
+    full = crop_region(w, h, "full")
+    assert full == (0, 0, w, h)
+
+
+def test_crop_image_matches_slices():
+    img = render_text("QUERY TABLE MERGE\nSORT JOIN GROUP")
+    h, w = img.shape
+    assert np.array_equal(crop_image(img, "top_half"), img[: h // 2])
+    assert np.array_equal(crop_image(img, "right_half"), img[:, w // 2:])
+    assert np.array_equal(crop_image(img, "quarter_4"),
+                          img[h // 2:, w // 2:])
+
+
+def test_quadrant_of():
+    assert quadrant_of(1, 1, 10, 10) == "quarter_1"
+    assert quadrant_of(9, 1, 10, 10) == "quarter_2"
+    assert quadrant_of(1, 9, 10, 10) == "quarter_3"
+    assert quadrant_of(9, 9, 10, 10) == "quarter_4"
+
+
+def test_corpus_variants_all_decode(spark):
+    """Every stored corpus variant round-trips through the full Spark
+    recognizer (the flagship equality gate in miniature)."""
+    from ocr_spark.datagen import generate_corpus
+    from ocr_spark.operators.ocr import recognize_blobs
+
+    tables = generate_corpus(n_docs=400, seed=43)
+    pdf = tables["media_blobs"].to_pandas()
+    variants = set(pdf["variant"])
+    # the generator must actually exercise the new surface
+    assert any("warped" in v for v in variants)
+    assert any("speckled" in v for v in variants)
+    assert any("upscaled" in v for v in variants)
+    assert any("rotated" in v for v in variants)
+    blobs = spark.createDataFrame(pdf)
+    got = {r["media_ref"]: r["text"]
+           for r in recognize_blobs(blobs).collect()}
+    for _, row in pdf.iterrows():
+        assert got[row["media_ref"]] == row["ground_text"], row["variant"]
+
+
+def test_crop_blob_variants_operator(spark):
+    from ocr_spark.datagen import generate_corpus
+    from ocr_spark.operators.ocr import crop_blob_variants
+
+    tables = generate_corpus(n_docs=40, seed=44)
+    pdf = tables["media_blobs"].to_pandas()
+    blobs = spark.createDataFrame(pdf)
+    crops = crop_blob_variants(blobs).collect()
+    n_modes = len(CROP_MODES) + len(QUARTER_MODES)
+    assert len(crops) == len(pdf) * n_modes
+    by_ref = {(r["crop"], r["media_ref"]): r for r in crops}
+    src = pdf.iloc[0]
+    img = np.frombuffer(src["pixels"], dtype=np.uint8).reshape(
+        src["height"], src["width"])
+    top = by_ref[("top_half", src["media_ref"])]
+    got = np.frombuffer(top["pixels"], dtype=np.uint8).reshape(
+        top["height"], top["width"])
+    assert np.array_equal(got, img[: img.shape[0] // 2])
