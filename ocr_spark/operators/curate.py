@@ -64,8 +64,23 @@ def curate_and_extract(
     blobs: DataFrame,
     results: SnapshotTable,
     audit: SnapshotTable,
+    lineage: SnapshotTable | None = None,
+    count_input: bool = False,
 ) -> dict:
-    """Dedup + extract only not-yet-committed docs; MERGE + audit."""
+    """Dedup + extract only not-yet-committed docs; MERGE + audit.
+
+    ``lineage`` (append-only SnapshotTable) receives one (doc_id,
+    keeper_id, phase, committed_at) row per dropped duplicate — both
+    in-batch dupes and cross-run fp-duplicates — so downstream joins can
+    re-attach dropped ids and a rerun's dedup decisions stay queryable.
+
+    Scan discipline (10^12 rows): the extraction job is the ONE pass over
+    the input payloads. The dedup prepass touches only (doc_id, fp) —
+    key-width columns. ``count_input=True`` opts into one extra count of
+    ``todo`` for the n_in/n_dropped stats; otherwise those are None (at
+    100 TB you read drop totals from the lineage/audit tables, not from
+    repeated full-table counts).
+    """
     spark = docs.sparkSession
     t0 = time.monotonic()
 
@@ -75,22 +90,45 @@ def curate_and_extract(
         todo = docs.join(committed.select("doc_id"), "doc_id", "left_anti")
 
     survivors, dup_map = dedup_docs(todo)
+    cross_dups = None
     if committed is not None:
         # cross-run dedup: a new doc_id carrying an already-committed
-        # payload is a duplicate too — results rows store `fp` for this
+        # payload is a duplicate too — results rows store `fp` for this;
+        # keeper = the smallest committed doc_id with the same payload
+        committed_fp = committed.groupBy("fp").agg(
+            F.min("doc_id").alias("keeper_id")
+        )
+        cross_dups = (
+            doc_fingerprint(survivors)
+            .join(committed_fp, "fp")
+            .select("doc_id", "keeper_id")
+        )
         survivors = survivors.join(
-            doc_fingerprint(survivors).join(
-                committed.select("fp"), "fp", "left_anti"
-            ).select("doc_id"),
-            "doc_id",
-            "left_semi",
+            cross_dups.select("doc_id"), "doc_id", "left_anti"
         )
     survivors = survivors.persist()
     try:
-        n_in = todo.count()
+        n_in = todo.count() if count_input else None
         n_unique = survivors.count()
+
+        n_lineage = None
+        if lineage is not None:
+            lin = dup_map
+            if cross_dups is not None:
+                lin = lin.unionByName(cross_dups)
+            lin = (
+                lin.withColumn("phase", F.lit("dedup"))
+                .withColumn("committed_at", F.current_timestamp())
+                .persist()
+            )
+            n_lineage = lin.count()
+            if n_lineage:
+                lineage.append(lin)
+            lin.unpersist()
+
+        n_dropped = (n_in - n_unique) if n_in is not None else n_lineage
         if n_unique == 0:
-            return {"n_in": n_in, "n_unique": 0, "n_dropped": n_in,
+            return {"n_in": n_in, "n_unique": 0, "n_dropped": n_dropped,
                     "results_version": results.current_version(),
                     "wall_sec": round(time.monotonic() - t0, 3)}
         out = (
@@ -106,7 +144,10 @@ def curate_and_extract(
             metrics = (
                 partition_metrics(out, phase="curate")
                 .withColumn("results_version", F.lit(rv))
-                .withColumn("n_dedup_dropped", F.lit(n_in - n_unique))
+                .withColumn(
+                    "n_dedup_dropped",
+                    F.lit(n_dropped).cast("long"),
+                )
             )
             av = audit.append(metrics)
         finally:
@@ -116,7 +157,7 @@ def curate_and_extract(
     return {
         "n_in": n_in,
         "n_unique": n_unique,
-        "n_dropped": n_in - n_unique,
+        "n_dropped": n_dropped,
         "results_version": rv,
         "audit_version": av,
         "wall_sec": round(time.monotonic() - t0, 3),

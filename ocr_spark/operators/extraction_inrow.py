@@ -52,7 +52,18 @@ _SPANS_SCHEMA = T.StructType([
 ])
 
 
-def recognized_map(docs: DataFrame, blobs: DataFrame) -> dict[str, str]:
+def _needed_refs(docs: DataFrame) -> DataFrame:
+    """Distinct media_refs used by `docs` (nested-pruned scan: only
+    spans.media_ref is read)."""
+    return (
+        docs.select(F.explode("spans.media_ref").alias("media_ref"))
+        .where(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+
+
+def recognized_map(docs: DataFrame, blobs: DataFrame,
+                   pruned: DataFrame | None = None) -> dict[str, str]:
     """{media_ref: recognized_text} for exactly the refs `docs` uses.
 
     One nested-pruned scan of docs (only spans.media_ref is read), one
@@ -60,12 +71,10 @@ def recognized_map(docs: DataFrame, blobs: DataFrame) -> dict[str, str]:
     blob. Collected via the Arrow path (toPandas), not row-pickled.
     Returns a plain dict for sc.broadcast.
     """
-    needed = (
-        docs.select(F.explode("spans.media_ref").alias("media_ref"))
-        .where(F.col("media_ref").isNotNull())
-        .distinct()
-    )
-    pruned = blobs.join(F.broadcast(needed), "media_ref", "left_semi")
+    if pruned is None:
+        pruned = blobs.join(
+            F.broadcast(_needed_refs(docs)), "media_ref", "left_semi"
+        )
     pdf = recognize_blobs(pruned).toPandas()
     return dict(zip(pdf["media_ref"], pdf["text"]))
 
@@ -133,14 +142,42 @@ def _transform_batch(batch: pa.RecordBatch,
     )
 
 
-def run_extraction_inrow(docs: DataFrame, blobs: DataFrame) -> DataFrame:
+MAX_BROADCAST_REFS = 2_000_000
+MAX_BROADCAST_EST_BYTES = 512 << 20
+
+
+def run_extraction_inrow(
+    docs: DataFrame,
+    blobs: DataFrame,
+    max_refs: int = MAX_BROADCAST_REFS,
+    max_est_bytes: int = MAX_BROADCAST_EST_BYTES,
+) -> DataFrame:
     """documents_interleaved + media_blobs -> (doc_id, out_spans, codes).
 
     Same contract and results as run_extraction; shuffle-free on the doc
     payload (see module docstring for the regime argument).
+
+    Budget guard: the in-row mode is only correct to RUN when the
+    recognized-media map fits a driver broadcast. Before recognizing, one
+    column-pruned aggregate over the pruned blob METADATA (width/height —
+    pixels are not read) bounds the map size: recognized text is at most
+    one char per 6x10 glyph cell. A cold-media batch that exceeds the
+    budget automatically falls back to the shuffle-mode plan
+    (operators/extraction.py) instead of silently OOMing the driver.
     """
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(recognized_map(docs, blobs))
+    pruned = blobs.join(F.broadcast(_needed_refs(docs)), "media_ref",
+                        "left_semi")
+    stats = pruned.agg(
+        F.count("*").alias("n_refs"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("px"),
+    ).first()
+    est_bytes = (stats["px"] or 0) // 60  # >= chars upper bound per cell
+    if stats["n_refs"] > max_refs or est_bytes > max_est_bytes:
+        from .extraction import run_extraction
+
+        return run_extraction(docs, blobs)
+    bc = spark.sparkContext.broadcast(recognized_map(docs, blobs, pruned))
 
     def _process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         media_text = bc.value

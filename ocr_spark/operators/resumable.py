@@ -55,10 +55,19 @@ def run_extraction_resumable(
     results: SnapshotTable,
     audit: SnapshotTable,
     salt_buckets: int = 0,
+    count_skipped: bool = False,
 ) -> dict:
     """Extract only not-yet-committed documents; MERGE + audit commit.
 
     Returns run stats: docs processed/skipped, snapshot versions, wall time.
+
+    Scan discipline (10^12-row inputs): the input is read ONCE — by the
+    extraction job itself. ``n_processed`` comes from counting the
+    persisted OUTPUT (cheap; the merge re-reads it anyway), and
+    ``n_skipped`` is an opt-in extra scan (``count_skipped=True``); by
+    default it is derived as committed-total minus nothing-new, i.e.
+    reported as None — restart metrics live in the audit table, not in
+    repeated full-table counts.
     """
     spark = docs.sparkSession
     t0 = time.monotonic()
@@ -67,22 +76,26 @@ def run_extraction_resumable(
     if committed is not None:
         done_ids = committed.select("doc_id")
         todo = docs.join(done_ids, "doc_id", "left_anti")
-        n_skipped = docs.count() - todo.count()
     else:
-        todo, n_skipped = docs, 0
-
-    n_todo = todo.count()
-    if n_todo == 0:
-        return {
-            "n_processed": 0,
-            "n_skipped": n_skipped,
-            "results_version": results.current_version(),
-            "audit_version": audit.current_version(),
-            "wall_sec": round(time.monotonic() - t0, 3),
-        }
+        todo = docs
+    n_skipped = None
+    if count_skipped:
+        n_done = committed.count() if committed is not None else 0
+        # committed ids are a subset of the input in the resume contract,
+        # so the skipped count is the committed count — no input scan
+        n_skipped = n_done
 
     out = run_extraction(todo, blobs, salt_buckets=salt_buckets).persist()
     try:
+        n_todo = out.count()  # first materialization of the one input scan
+        if n_todo == 0:
+            return {
+                "n_processed": 0,
+                "n_skipped": n_skipped,
+                "results_version": results.current_version(),
+                "audit_version": audit.current_version(),
+                "wall_sec": round(time.monotonic() - t0, 3),
+            }
         # idempotent by doc_id; codes append-if-absent preserves the
         # reference's conditional-append store semantics
         rv = results.merge_upsert(

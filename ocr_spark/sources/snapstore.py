@@ -18,9 +18,12 @@ this module implements the same snapshot/manifest contract over plain
 parquet + JSON manifests:
 
   table_dir/
-    data/v{N}/bucket={B}/part-*.parquet     immutable data files
+    data/v{N}-{writer}/bucket={B}/part-*.parquet   immutable data files
     _snapshots/v{N}.json                    manifest: bucket -> [files]
-                                            (rename = atomic commit point)
+                                            (exclusive-create link = atomic
+                                            commit; losers get
+                                            CommitConflict and recompute —
+                                            Iceberg optimistic concurrency)
 
 Scale design (100 TB):
   * Rows are hash-bucketed on the key column (``pmod(xxhash64(key), n)``).
@@ -45,6 +48,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MergeExprs = "dict[str, object] | None"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the snapshot version this writer targeted;
+    the caller must recompute from the new current snapshot and retry."""
 
 
 def _bucket_expr(key_col: str, n_buckets: int) -> Column:
@@ -88,9 +96,20 @@ class SnapshotTable:
                   encoding="utf-8") as fh:
             return json.load(fh)["buckets"]
 
-    def _commit(self, buckets: dict[str, list[str]]) -> int:
-        """Atomically publish a new snapshot; returns its version."""
-        version = (self.current_version() or 0) + 1
+    def _commit(self, buckets: dict[str, list[str]],
+                base_version: int | None) -> int:
+        """Atomically publish snapshot ``base_version + 1``.
+
+        The publish is an exclusive create (os.link), so two concurrent
+        writers that both derived their manifest from ``base_version``
+        cannot clobber each other: exactly one wins; the loser gets
+        CommitConflict and must RECOMPUTE from the new current snapshot
+        (publishing its stale manifest under the next number would silently
+        drop the winner's rows). This is the Iceberg optimistic-concurrency
+        commit protocol. Data files live in writer-unique dirs
+        (_write_data), so a losing writer's files are never overwritten.
+        """
+        version = (base_version or 0) + 1
         payload = json.dumps(
             {"version": version, "key_col": self.key_col,
              "n_buckets": self.n_buckets, "buckets": buckets},
@@ -99,8 +118,15 @@ class SnapshotTable:
         fd, tmp = tempfile.mkstemp(dir=self._snapdir(), suffix=".tmp")
         with os.fdopen(fd, "w", encoding="utf-8") as fh:
             fh.write(payload)
-        os.rename(tmp, os.path.join(self._snapdir(), f"v{version}.json"))
-        return version
+        try:
+            os.link(tmp, os.path.join(self._snapdir(), f"v{version}.json"))
+            return version
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"snapshot v{version} was committed by another writer"
+            ) from exc
+        finally:
+            os.unlink(tmp)
 
     # ---- read -----------------------------------------------------------
 
@@ -128,8 +154,15 @@ class SnapshotTable:
 
     def _write_data(self, df: DataFrame, version_tag: int) -> dict[str, list[str]]:
         """Write df (with _b bucket col) partitioned by bucket; return the
-        bucket -> files mapping for the files just written."""
-        vdir = os.path.join(self.path, "data", f"v{version_tag}")
+        bucket -> files mapping for the files just written.
+
+        The directory name carries a writer-unique suffix so concurrent
+        writers targeting the same next version never overwrite each
+        other's data files (the manifest link in _commit arbitrates)."""
+        import uuid
+
+        vdir = os.path.join(
+            self.path, "data", f"v{version_tag}-{uuid.uuid4().hex[:12]}")
         df.write.partitionBy("_b").mode("overwrite").parquet(vdir)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(vdir)):
@@ -145,18 +178,25 @@ class SnapshotTable:
         return out
 
     def append(self, df: DataFrame) -> int:
-        """Append-only commit (audit-log mode): old files + new files."""
-        tag = (self.current_version() or 0) + 1
+        """Append-only commit (audit-log mode): old files + new files.
+
+        Safe under concurrent writers: the data files are written once;
+        on commit conflict only the (cheap) manifest union is recomputed
+        against the winner's snapshot."""
         if self.key_col:
             df = df.withColumn("_b", _bucket_expr(self.key_col, self.n_buckets))
         else:
             df = df.withColumn("_b", F.lit(0))
-        new_files = self._write_data(df, tag)
-        current = self.current_version()
-        buckets = dict(self._manifest(current)) if current else {}
-        for b, files in new_files.items():
-            buckets[b] = buckets.get(b, []) + files
-        return self._commit(buckets)
+        new_files = self._write_data(df, (self.current_version() or 0) + 1)
+        while True:
+            current = self.current_version()
+            buckets = dict(self._manifest(current)) if current else {}
+            for b, files in new_files.items():
+                buckets[b] = buckets.get(b, []) + files
+            try:
+                return self._commit(buckets, current)
+            except CommitConflict:
+                continue
 
     def merge_upsert(self, updates: DataFrame,
                      merge_exprs: MergeExprs = None) -> int:
@@ -170,17 +210,36 @@ class SnapshotTable:
         Only buckets containing updated keys are read and rewritten; all
         other buckets carry over by reference (file-level CoW + pruning).
         Updates must be unique per key.
+
+        ``updates`` is persisted internally before the affected-bucket scan
+        so a nondeterministic input cannot land rows in a bucket outside
+        ``affected`` on re-evaluation (which would silently replace that
+        bucket's manifest entry). Safe under concurrent writers: a commit
+        conflict re-runs the merge against the winner's snapshot.
         """
         if not self.key_col:
             raise ValueError("merge_upsert requires a key column")
         key = self.key_col
-        updates = updates.withColumn("_b", _bucket_expr(key, self.n_buckets))
-        tag = (self.current_version() or 0) + 1
+        updates = updates.withColumn(
+            "_b", _bucket_expr(key, self.n_buckets)
+        ).persist()
+        try:
+            while True:
+                try:
+                    return self._merge_once(updates, merge_exprs)
+                except CommitConflict:
+                    continue
+        finally:
+            updates.unpersist()
 
+    def _merge_once(self, updates: DataFrame,
+                    merge_exprs: MergeExprs = None) -> int:
+        key = self.key_col
         current = self.current_version()
+        tag = (current or 0) + 1
         if current is None:
             new_files = self._write_data(updates, tag)
-            return self._commit(new_files)
+            return self._commit(new_files, None)
 
         manifest = self._manifest(current)
         affected = sorted(
@@ -222,7 +281,7 @@ class SnapshotTable:
             if int(b) not in affected
         }
         buckets.update(new_files)
-        return self._commit(buckets)
+        return self._commit(buckets, current)
 
     @staticmethod
     def spark_of(df: DataFrame) -> SparkSession:

@@ -57,12 +57,19 @@ def stream_extraction(
     audit: SnapshotTable,
     checkpoint_dir: str,
     available_now: bool = True,
+    processing_interval: str = "200 milliseconds",
 ) -> StreamingQuery:
     """Run the extraction pipeline over a document stream.
 
     foreachBatch + MERGE-by-doc_id gives exactly-once results on top of
     Spark's at-least-once batch replay (same contract the reference builds
     from Bull retries + SQLite upsert).
+
+    Trigger modes: ``available_now=True`` drains the backlog and stops
+    (batch-resume shape); ``available_now=False`` keeps the query live on
+    a processing-time trigger — the reference's 200 ms live-frame cadence
+    (/root/reference/src/public/live.js:56-81), hence the default
+    interval.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -90,6 +97,8 @@ def stream_extraction(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
 
 

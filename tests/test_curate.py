@@ -48,9 +48,18 @@ def test_curate_end_to_end_and_resume(spark, tmp_path, corpus):
     results = SnapshotTable(str(tmp_path / "res"), key_col="doc_id",
                             n_buckets=4)
     audit = SnapshotTable(str(tmp_path / "aud"))
+    lineage = SnapshotTable(str(tmp_path / "lin"))
 
-    s1 = curate_and_extract(doubled, blobs, results, audit)
+    s1 = curate_and_extract(doubled, blobs, results, audit,
+                            lineage=lineage, count_input=True)
     assert s1["n_in"] == 60 and s1["n_unique"] == 50 and s1["n_dropped"] == 10
+
+    # dropped-duplicate lineage is queryable: every zdup id maps to its
+    # keeper
+    lin1 = {(r["doc_id"], r["keeper_id"])
+            for r in lineage.read(spark).collect()}
+    assert len(lin1) == 10
+    assert all(d.startswith("zdup-") and d == f"zdup-{k}" for d, k in lin1)
 
     # results hold exactly the unique docs, equal to goldens
     final = results.read(spark)
@@ -73,10 +82,14 @@ def test_curate_end_to_end_and_resume(spark, tmp_path, corpus):
     assert canon(final).exceptAll(canon(expected)).count() == 0
 
     # resume: rerun with the same input -> everything already committed;
-    # the 10 dup doc_ids are NOT in results, so they re-enter dedup and
-    # drop again; no new extraction happens
-    s2 = curate_and_extract(doubled, blobs, results, audit)
+    # the 10 dup doc_ids are NOT in results, so they re-enter dedup as
+    # cross-run fp-duplicates and drop again; no new extraction happens,
+    # and the rerun's dedup decisions land in lineage too
+    s2 = curate_and_extract(doubled, blobs, results, audit,
+                            lineage=lineage)
     assert s2["n_unique"] == 0 and s2["results_version"] == s1["results_version"]
+    assert s2["n_dropped"] == 10  # from lineage, no input count scan
+    assert lineage.read(spark).count() == 20
 
     # audit carries the dedup statistics
     arow = audit.read(spark).collect()[0]

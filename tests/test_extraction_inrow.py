@@ -105,3 +105,23 @@ def test_recognized_map_covers_exactly_used_refs(spark, corpus):
     }
     have = {r["media_ref"] for r in blobs.select("media_ref").collect()}
     assert set(m) == used & have
+
+
+def test_budget_guard_falls_back_to_shuffle_mode(spark, corpus):
+    """A batch whose recognized-media map exceeds the broadcast budget must
+    auto-fall-back to the shuffle-mode plan (no silent driver OOM path),
+    with identical results."""
+    docs, blobs, expected = corpus
+
+    out = run_extraction_inrow(docs, blobs, max_refs=1)
+    # fallback plan reassembles via shuffle -> it has exchanges, unlike
+    # the zero-exchange in-row plan (tests/test_plans.py pins that)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    assert _canon(out).exceptAll(_canon(expected)).count() == 0
+    assert out.count() == expected.count()
+
+    # byte-budget trips identically
+    out2 = run_extraction_inrow(docs, blobs, max_est_bytes=10)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2

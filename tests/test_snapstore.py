@@ -95,17 +95,19 @@ def test_resume_skips_committed_docs(spark, tmp_path, tiny_corpus):
 
     # run 1: first half only (simulates a job killed mid-corpus)
     half = docs.filter(F.col("doc_id") < "doc-00000030")
-    s1 = run_extraction_resumable(half, blobs, results, audit)
+    s1 = run_extraction_resumable(half, blobs, results, audit,
+                                  count_skipped=True)
     assert s1["n_processed"] == 30 and s1["n_skipped"] == 0
 
     # run 2: full input -> must process ONLY the uncommitted half
-    s2 = run_extraction_resumable(docs, blobs, results, audit)
+    s2 = run_extraction_resumable(docs, blobs, results, audit,
+                                  count_skipped=True)
     assert s2["n_processed"] == 30 and s2["n_skipped"] == 30
     assert s2["results_version"] == 2
 
-    # run 3: nothing left to do
+    # run 3: nothing left to do (default: no skip-count scan -> None)
     s3 = run_extraction_resumable(docs, blobs, results, audit)
-    assert s3["n_processed"] == 0 and s3["n_skipped"] == 60
+    assert s3["n_processed"] == 0 and s3["n_skipped"] is None
 
     # final state equals the golden span sequences exactly
     def _canon(df):
@@ -136,3 +138,74 @@ def test_resume_skips_committed_docs(spark, tmp_path, tiny_corpus):
     for r in audit_rows:
         assert r["phase"] == "extract"
         assert r["min_doc_id"] <= r["max_doc_id"]
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """Two writers deriving a manifest from the same base version: the
+    exclusive-create link lets exactly one win; the loser must recompute
+    (Iceberg optimistic concurrency), never silently clobber."""
+    from ocr_spark.sources.snapstore import CommitConflict
+
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=4)
+    t.merge_upsert(_df(spark, [("a", 1, ["x"])]))
+    base = t.current_version()
+    manifest = t._manifest(base)
+    assert t._commit(manifest, base) == base + 1
+    with pytest.raises(CommitConflict):
+        t._commit(manifest, base)
+
+
+def test_racing_merge_upserts_no_lost_update(spark, tmp_path):
+    """Two threads merge different keys concurrently; both commits must
+    survive (the loser retries against the winner's snapshot)."""
+    import threading
+
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=4)
+    t.merge_upsert(_df(spark, [("a", 1, ["x"])]))
+
+    errs = []
+
+    def _merge(rows):
+        try:
+            t.merge_upsert(_df(spark, rows))
+        except Exception as exc:  # pragma: no cover - fail the test below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=_merge, args=([("b", 2, ["y"])],)),
+        threading.Thread(target=_merge, args=([("c", 3, ["z"])],)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    now = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert now == {"a": 1, "b": 2, "c": 3}
+    assert t.current_version() == 3
+
+
+def test_merge_upsert_nondeterministic_updates_safe(spark, tmp_path):
+    """A nondeterministic updates DataFrame must not lose pre-existing
+    bucket rows: merge_upsert persists internally before the
+    affected-bucket scan (ADVICE round 1)."""
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=8)
+    seed = [(f"k{i}", i, ["s"]) for i in range(16)]
+    t.merge_upsert(_df(spark, seed))
+
+    # nondeterministic key column: would re-evaluate differently per scan
+    upd = (
+        spark.range(4)
+        .select(
+            F.concat(F.lit("n"), (F.rand() * 1e9).cast("long").cast("string"))
+            .alias("k"),
+            F.lit(99).alias("v"),
+            F.array(F.lit("r")).alias("tags"),
+        )
+    )
+    t.merge_upsert(upd)
+    rows = t.read(spark).collect()
+    kept = [r for r in rows if r["k"].startswith("k")]
+    added = [r for r in rows if r["k"].startswith("n")]
+    assert len(kept) == 16, "pre-existing rows lost from a rewritten bucket"
+    assert len(added) == 4

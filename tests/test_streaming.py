@@ -131,3 +131,48 @@ def test_windowed_code_rate_batch_and_stream_same_plan(spark, tmp_path):
     # sink materialized with the right schema
     got = spark.read.schema(out.schema).parquet(sink)
     assert got.count() >= 0
+
+
+def test_live_processing_time_trigger(spark, tmp_path, corpus):
+    """Q4 live path: a processing-time trigger at the reference's 200 ms
+    frame cadence keeps the query running; drops that arrive WHILE it runs
+    are picked up by later micro-batches and their audit rows land without
+    stopping the query."""
+    import time
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    results = SnapshotTable(str(tmp_path / "results"), key_col="doc_id",
+                            n_buckets=4)
+    audit = SnapshotTable(str(tmp_path / "audit"))
+    blobs = spark.createDataFrame(corpus["media_blobs"].to_pandas())
+
+    _drop_batch(corpus, inbox, "frame1", 0, 10)
+    q = stream_extraction(
+        read_document_stream(spark, inbox), blobs, results, audit, ckpt,
+        available_now=False,
+    )
+    try:
+        def _wait_for(n_docs: int, timeout: float = 90.0) -> None:
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                snap = results.read(spark)
+                if snap is not None and snap.count() >= n_docs:
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"results never reached {n_docs} docs")
+
+        _wait_for(10)
+        assert q.isActive  # live query keeps running after the drop
+        # a second frame arrives while the query is live
+        _drop_batch(corpus, inbox, "frame2", 10, 25)
+        _wait_for(25)
+        assert q.isActive
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    audit_rows = audit.read(spark).collect()
+    assert {r["phase"] for r in audit_rows} == {"stream"}
+    # the two frames were processed by different micro-batches
+    assert len({r["batch_id"] for r in audit_rows}) >= 2
