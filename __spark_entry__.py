@@ -447,7 +447,13 @@ def _rendered_doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ocr_spark.fonts import render_text
 
-    prep = _render_prep(_t(spark, sf_dir, "documents"))
+    # Fan the CPU-bound render/OCR stage out past the (few, tiny) input
+    # splits: the exchange carries only (doc_id, prepped text) — at real
+    # scale input splits are plentiful and this coalesces to a no-op-sized
+    # shuffle, locally it's the difference between 3 and 32 busy cores.
+    prep = _render_prep(_t(spark, sf_dir, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def _render(batches):
         import pandas as pd

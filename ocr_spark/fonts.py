@@ -55,6 +55,10 @@ for _ch, _g in GLYPHS.items():
 # Flat template matrix for vectorized classification: (n_chars, 35)
 TEMPLATE_CHARS = list(ALPHABET)
 TEMPLATE_MATRIX = np.stack([GLYPHS[c].reshape(-1) for c in TEMPLATE_CHARS])
+# Hamming distance via |c != t| = |c| + |t| - 2*c.t (binary vectors):
+# one BLAS matmul instead of a 3D boolean broadcast
+_TEMPLATE_T = TEMPLATE_MATRIX.astype(np.int32).T
+_TEMPLATE_SUMS = TEMPLATE_MATRIX.sum(axis=1).astype(np.int32)
 
 
 def render_text(text: str, ink: int = 255) -> np.ndarray:
@@ -112,10 +116,13 @@ def detect_rotation(img: np.ndarray, threshold: int = 64) -> int:
         # glyphs carry >= 4 forced corner px) — see preprocess.py denoise
         from .preprocess import SPECKLE_INK_MAX
 
-        inked = flat[flat.sum(axis=1) > SPECKLE_INK_MAX]
+        sums = flat.sum(axis=1, dtype=np.int32)
+        inked = flat[sums > SPECKLE_INK_MAX]
         if inked.size == 0:
             continue
-        dists = (inked[:, None, :] != TEMPLATE_MATRIX[None, :, :]).sum(axis=2)
+        dots = inked.astype(np.int32) @ _TEMPLATE_T
+        dists = (sums[sums > SPECKLE_INK_MAX][:, None]
+                 + _TEMPLATE_SUMS[None, :] - 2 * dots)
         score = dists.min(axis=1).sum() / max(len(inked), 1)
         if best_score is None or score < best_score:
             best_k, best_score = k, score

@@ -51,6 +51,11 @@ class _Recognizer:
         from ..fonts import TEMPLATE_CHARS, TEMPLATE_MATRIX
 
         self.template_matrix = TEMPLATE_MATRIX.astype(np.uint8)
+        # Hamming distance via the binary identity |c != t| = |c| + |t|
+        # - 2*c.t: one small BLAS matmul per image instead of an
+        # O(cells x templates x 35) boolean broadcast
+        self.template_t = TEMPLATE_MATRIX.astype(np.int32).T
+        self.template_sums = TEMPLATE_MATRIX.sum(axis=1).astype(np.int32)
         self.template_chars = np.array(TEMPLATE_CHARS)
         _Recognizer.init_count += 1
 
@@ -70,8 +75,9 @@ class _Recognizer:
         img = try_dewarp(img, OCR_THRESHOLD)
         return try_collapse_upscale(img)
 
-    def _classify(self, binary: np.ndarray):
-        """Cell grid -> (char grid, mean min-Hamming over inked cells)."""
+    def _classify_full(self, binary: np.ndarray):
+        """Cell grid -> (char grid, mean min-Hamming over inked cells,
+        per-cell min-Hamming grid)."""
         height, width = binary.shape
         n_lines = -(-height // LINE_PITCH)
         n_cells = -(-width // CHAR_PITCH)
@@ -88,15 +94,46 @@ class _Recognizer:
         # budget are blank — glyphs always carry >= 4 forced corner px
         from ..preprocess import SPECKLE_INK_MAX
 
-        blank = flat.sum(axis=1) <= SPECKLE_INK_MAX
-        # vectorized Hamming distance to every template for every cell
-        dists = (flat[:, None, :] != self.template_matrix[None, :, :]).sum(axis=2)
+        cell_sums = flat.sum(axis=1, dtype=np.int32)
+        blank = cell_sums <= SPECKLE_INK_MAX
+        # Hamming distance to every template via one BLAS matmul
+        dots = flat.astype(np.int32) @ self.template_t
+        dists = cell_sums[:, None] + self.template_sums[None, :] - 2 * dots
         mins = dists.min(axis=1)
         chars = self.template_chars[np.argmin(dists, axis=1)]
         chars[blank] = " "
         inked = (~blank).sum()
         score = mins[~blank].sum() / inked if inked else np.inf
-        return chars.reshape(n_lines, n_cells), score
+        mins = np.where(blank, 0, mins)
+        return chars.reshape(n_lines, n_cells), score, \
+            mins.reshape(n_lines, n_cells)
+
+    def _classify(self, binary: np.ndarray):
+        chars, score, _ = self._classify_full(binary)
+        return chars, score
+
+    def _best_grid(self, binary: np.ndarray):
+        """Upright gate + corrective rotate fused with classification
+        (reference skew pipeline, /root/reference/src/ocr/
+        focus_pytesseract.py:36-48): try 0/90/180/270, keep the grid with
+        the best template alignment; upright renders score 0 on the first
+        candidate so the common case classifies ONCE. Returns
+        (char grid, score, per-cell min-Hamming grid, rotation k)."""
+        best = None
+        for k in (0, 1, 2, 3):
+            grid, score, mins = self._classify_full(np.rot90(binary, k))
+            if best is None or score < best[1]:
+                best = (grid, score, mins, k)
+                if score == 0:
+                    break
+        return best
+
+    @staticmethod
+    def _grid_lines(grid: np.ndarray) -> list[str]:
+        lines = ["".join(row).rstrip() for row in grid]
+        while lines and not lines[-1]:
+            lines.pop()
+        return lines
 
     def recognize(self, pixels: bytes, height: int, width: int) -> str:
         img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
@@ -104,22 +141,8 @@ class _Recognizer:
         binary = (img >= OCR_THRESHOLD).astype(np.uint8)
         if binary.size == 0 or not binary.any():
             return ""
-        # upright gate + corrective rotate fused with classification
-        # (reference skew pipeline, /root/reference/src/ocr/
-        # focus_pytesseract.py:36-48): try 0/90/180/270, keep the grid
-        # with the best template alignment; upright renders score 0 on
-        # the first candidate so the common case classifies ONCE.
-        best_grid, best_score = None, None
-        for k in (0, 1, 2, 3):
-            grid, score = self._classify(np.rot90(binary, k))
-            if best_score is None or score < best_score:
-                best_grid, best_score = grid, score
-                if score == 0:
-                    break
-        lines = ["".join(row).rstrip() for row in best_grid]
-        while lines and not lines[-1]:
-            lines.pop()
-        return "\n".join(lines)
+        grid, _, _, _ = self._best_grid(binary)
+        return "\n".join(self._grid_lines(grid))
 
 
 def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,12 +187,15 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
     Mirrors the reference's EasyOCR record shape `{bbox: [[x,y]x4],
     text, confidence, section}` (/root/reference/src/ocr/
     easyocr_impl.py:25-29, 108-129): bbox corners are TL/TR/BR/BL of the
-    fixed-pitch line band; confidence = fraction of non-blank cells whose
-    template Hamming distance is 0 (1.0 on clean renders, lower on noise);
-    section = top/bottom half (the reference's crop-section vocabulary,
-    easyocr_impl.py:183-188).
+    fixed-pitch line band; confidence = fraction of the line's non-space
+    chars whose cell matches its template pixel-exactly (min-Hamming 0) —
+    identical to re-rendering the decoded line and comparing the band,
+    but read directly off the classifier's distance matrix; section =
+    top/bottom half (the reference's crop-section vocabulary,
+    easyocr_impl.py:183-188) plus the quarter label
+    (image_utils.py:78-114 via preprocess.quadrant_of).
     """
-    from ..fonts import CHAR_PITCH, GLYPH_H, LINE_PITCH, detect_rotation
+    from ..fonts import CHAR_PITCH, GLYPH_H, LINE_PITCH
     from ..preprocess import quadrant_of
 
     # bbox/confidence math happens in the RECTIFIED UPRIGHT frame
@@ -177,41 +203,25 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
     # cli.py:148-157, focus_pytesseract.py:41-48)
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     img = recognizer.preprocess(img)
-    rot = detect_rotation(img, OCR_THRESHOLD)
-    if rot:
-        img = np.rot90(img, rot)
-    height, width = img.shape
-    text = recognizer.recognize(img.tobytes(), height, width)
+    binary = (img >= OCR_THRESHOLD).astype(np.uint8)
+    if binary.size == 0 or not binary.any():
+        return []
+    grid, _, mins, k = recognizer._best_grid(binary)
+    height, width = np.rot90(binary, k).shape
     out = []
-    for i, line in enumerate(text.split("\n") if text else []):
+    for i, line in enumerate(recognizer._grid_lines(grid)):
         if not line:
             continue
         y0 = i * LINE_PITCH
         x1 = len(line) * CHAR_PITCH
         y1 = min(y0 + GLYPH_H, height)
         bbox = [[0, y0], [x1, y0], [x1, y1], [0, y1]]
-        # confidence: re-render the decoded line and compare to the source
-        # band cell-exactly (deterministic analog of model confidence)
-        band = (img[y0:y0 + GLYPH_H] >= OCR_THRESHOLD).astype(np.uint8)
-        from ..fonts import render_text
-
-        ref = (render_text(line) > 0).astype(np.uint8)[:GLYPH_H]
-        h = min(band.shape[0], ref.shape[0])
-        w = min(band.shape[1], ref.shape[1])
-        total = max(1, len(line.replace(" ", "")))
-        wrong = 0
-        for ci, ch in enumerate(line):
-            if ch == " ":
-                continue
-            x = ci * CHAR_PITCH
-            a = band[:h, x:min(x + CHAR_PITCH - 1, w)]
-            b = ref[:h, x:min(x + CHAR_PITCH - 1, w)]
-            if a.shape != b.shape or (a != b).any():
-                wrong += 1
+        chars = np.frombuffer(line.encode("ascii", "replace"), dtype="S1")
+        nonspace = chars != b" "
+        total = max(1, int(nonspace.sum()))
+        wrong = int((nonspace & (mins[i, :len(line)] > 0)).sum())
         conf = round(1.0 - wrong / total, 4)
         section = "top_half" if y0 < height / 2 else "bottom_half"
-        # quarter label of the line's bbox center (reference quarter crop
-        # vocabulary, image_utils.py:78-114 via preprocess.quadrant_of)
         quadrant = quadrant_of(x1 / 2, (y0 + y1) / 2, width, height)
         out.append((i, bbox, line, conf, section, quadrant))
     return out
