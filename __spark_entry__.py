@@ -671,6 +671,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed near-dup pairs — the sublinear scale path
+    for embedding near-dup (full DuckDB oracle via inlined md5-derived
+    hyperplanes); recall vs the exact oracle pytest-checked."""
+    from ocr_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with a deterministic md5-derived coarse quantizer
+    (16 cells, nprobe=2). Full DuckDB oracle: centroids inlined, cell
+    assignment and probe ranking recomputed in SQL."""
+    from ocr_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=10,
+                   num_centroids=16, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -710,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "emb_neardup_pairs": emb_neardup_pairs,
         "ann_lsh_topk": ann_lsh_topk,
+        "emb_neardup_lsh": emb_neardup_lsh,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -896,20 +923,26 @@ def _simhash_oracle(max_hamming: int = 3, prefix_bands: int = 4) -> str:
     """
 
 
-def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 10) -> str:
-    """DuckDB twin of similarity.lsh_topk: the md5-derived hyperplanes are
-    inlined as DOUBLE[] literals, so bucket assignment is recomputed
-    exactly (same raw-vector float64 dot, same strict > 0 sign rule)."""
+def _lsh_bucket_sql(num_planes: int, dim: int, vec: str = "vec") -> str:
+    """Sign-bucket SQL expression over inlined md5-derived hyperplanes
+    (same raw-vector float64 dot, same strict > 0 sign rule as Spark)."""
     from ocr_spark.functions.hashfam import hyperplanes
 
     planes = hyperplanes(num_planes, dim)
-    bucket = " + ".join(
-        "(CASE WHEN list_dot_product(vec, [{vals}]::DOUBLE[]) > 0"
+    return " + ".join(
+        "(CASE WHEN list_dot_product({v}, [{vals}]::DOUBLE[]) > 0"
         " THEN {w}::BIGINT ELSE 0::BIGINT END)".format(
-            vals=", ".join(repr(x) for x in p), w=1 << i
+            v=vec, vals=", ".join(repr(x) for x in p), w=1 << i
         )
         for i, p in enumerate(planes)
     )
+
+
+def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of similarity.lsh_topk: the md5-derived hyperplanes are
+    inlined as DOUBLE[] literals, so bucket assignment is recomputed
+    exactly."""
+    bucket = _lsh_bucket_sql(num_planes, dim)
     qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
     return f"""
         WITH base AS (
@@ -929,6 +962,85 @@ def _ann_lsh_oracle(num_planes: int = 8, dim: int = 64, k: int = 10) -> str:
                        / (b.norm * q.qnorm), 6) AS cos_sim
           FROM bucketed b JOIN q
             ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _emb_neardup_lsh_oracle(num_planes: int = 8, dim: int = 64,
+                            threshold: float = 0.9) -> str:
+    """DuckDB twin of similarity.lsh_neardup_pairs: bucketed self-join on
+    the inlined hyperplane sign-bucket, cosine filter on the rounded
+    value (matching the Spark filter order)."""
+    bucket = _lsh_bucket_sql(num_planes, dim)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+          FROM embeddings
+        ), bucketed AS (
+          SELECT vec_id, vec, norm, ({bucket}) AS bucket FROM base
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.vec, b.vec)
+                     / (a.norm * b.norm), 6) AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.vec, b.vec)
+                    / (a.norm * b.norm), 6) >= {threshold}
+    """
+
+
+def _ann_ivf_oracle(num_centroids: int = 16, dim: int = 64,
+                    nprobe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_topk: unit centroids inlined, cell =
+    first-argmax of the centroid dots (list_position on list_max = first
+    index, matching np.argmax), probes = row_number over (dot DESC, index
+    ASC) — the same tie rule as the Spark-side lexsort."""
+    from ocr_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(dim, num_centroids)
+    dots = ", ".join(
+        "list_dot_product(vec, [{vals}]::DOUBLE[])".format(
+            vals=", ".join(repr(x) for x in c))
+        for c in cents
+    )
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+          FROM embeddings
+        ), cd AS (
+          SELECT vec_id, vec, norm, [{dots}] AS cdots FROM base
+        ), assigned AS (
+          SELECT vec_id, vec, norm,
+                 list_position(cdots, list_max(cdots)) - 1 AS cell
+          FROM cd
+        ), q AS (
+          SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm, cdots
+          FROM cd WHERE vec_id IN ({qids})
+        ), qprobe AS (
+          SELECT query_id, qvec, qnorm, i - 1 AS cell
+          FROM (
+            SELECT q.*, unnest(generate_series(1, {num_centroids})) AS i
+            FROM q
+          )
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cdots[i] DESC, i ASC
+          ) <= {nprobe}
+        ), scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(a.vec, p.qvec)
+                       / (a.norm * p.qnorm), 6) AS cos_sim
+          FROM assigned a JOIN qprobe p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
         )
         SELECT query_id, neighbor_id, cos_sim, rank FROM (
           SELECT *, row_number() OVER (
@@ -1259,6 +1371,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "emb_neardup_lsh": _emb_neardup_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).

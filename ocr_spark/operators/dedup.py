@@ -28,7 +28,6 @@ from ..functions.hashfam import (
     MINHASH_P,
     minhash_coeffs,
     spark_base60,
-    spark_chunk32,
 )
 from ..functions.textstats import WS_SPLIT, fingerprint
 
@@ -232,10 +231,11 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), WS_SPLIT)).alias("tok"),
     ).filter(F.length("tok") > 0)
-    toks = toks.select(
+    # md5 once per token row; both 32-bit chunks come from the one hex col
+    toks = toks.select("id", F.md5("tok").alias("hx")).select(
         "id",
-        spark_chunk32("tok", 0).alias("h_lo"),
-        spark_chunk32("tok", 1).alias("h_hi"),
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("h_hi"),
     )
     votes = [
         F.sum(

@@ -151,6 +151,155 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_neardup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.9, num_planes: int = 8,
+) -> DataFrame:
+    """Hyperplane-LSH-bucketed cosine near-dup pairs — the sublinear
+    production path for embedding near-dup (vs the exact O(n^2) oracle
+    embedding_neardup_pairs). Candidates share a sign-bucket, so the pair
+    matrix is never materialized; recall < 1 by design (a near-dup pair
+    straddling a hyperplane is missed — tested against the exact oracle
+    for containment). Returns (id_a, id_b, cos_sim)."""
+    base = with_lsh_buckets(emb, id_col, vec_col, num_planes)
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.vec", "b.vec", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: deterministic coarse quantizer + probed cells
+# --------------------------------------------------------------------------
+
+def _ivf_centroids(dim: int, num_centroids: int) -> np.ndarray:
+    """Unit-norm md5-derived centroids (functions/hashfam.py) — a fixed
+    coarse quantizer instead of a trained k-means codebook, so the DuckDB
+    oracle can inline the exact values and recompute cell assignment."""
+    from ..functions import hashfam
+
+    c = np.asarray(
+        [[2.0 * hashfam.md5_base60(f"ivf:{i}:{d}") / hashfam.TWO_60 - 1.0
+          for d in range(dim)] for i in range(num_centroids)],
+        dtype=np.float64,
+    )
+    return c / np.linalg.norm(c, axis=1)[:, None]
+
+
+def with_ivf_cells(
+    emb: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16,
+) -> DataFrame:
+    """(id, vec, norm, cell): cell = argmax dot(vec, unit centroid) —
+    first index wins ties (matches the oracle's row_number rule). One
+    matmul per Arrow batch."""
+    dim = len(emb.select(vec_col).first()[0])
+    centroids = _ivf_centroids(dim, num_centroids)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bc.value
+        for pdf in batches:
+            mat = _matrix(pdf["vec"])
+            pdf = pdf.copy()
+            pdf["norm"] = np.linalg.norm(mat, axis=1)
+            pdf["cell"] = np.argmax(mat @ cm.T, axis=1).astype(np.int64)
+            yield pdf
+
+    id_t = _id_sql_type(emb, id_col)
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+    return base.mapInPandas(
+        _assign,
+        schema=f"id {id_t}, vec array<double>, norm double, cell long",
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: each query probes its `nprobe`
+    nearest cells and ranks only the vectors assigned there.
+
+    Scale shape: cell assignment is one scan + matmul; the candidate join
+    is an equi-join on a small int key (no pair matrix); each query's
+    probe list is tiny and broadcast. Recall < 1 by design (tested for
+    overlap vs the exact baseline). Returns (query_id, neighbor_id,
+    cos_sim, rank)."""
+    base = with_ivf_cells(emb, id_col, vec_col, num_centroids)
+    dim = len(emb.select(vec_col).first()[0])
+    centroids = _ivf_centroids(dim, num_centroids)
+    spark = emb.sparkSession
+
+    qpdf = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qvec"))
+        .toPandas()
+    )
+    qmat = _matrix(qpdf["qvec"])
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    dots = qmat @ centroids.T  # (n_queries, num_centroids)
+    # top-nprobe cells per query: dot desc, cell index asc on ties —
+    # identical to the oracle's row_number ordering
+    order = np.lexsort((np.arange(dots.shape[1])[None, :].repeat(
+        dots.shape[0], axis=0), -dots), axis=1)[:, :nprobe]
+    probe_rows = [
+        (qid, int(cell), [float(x) for x in vec], float(n))
+        for qid, vec, n, cells in zip(
+            qpdf["query_id"], qpdf["qvec"], qnorms, order)
+        for cell in cells
+    ]
+    id_t = _id_sql_type(emb, id_col)
+    probes = spark.createDataFrame(
+        probe_rows,
+        schema=f"query_id {id_t}, cell long, qvec array<double>, "
+               f"qnorm double",
+    )
+    cand = base.join(
+        F.broadcast(probes),
+        (base["cell"] == probes["cell"])
+        & (base["id"] != probes["query_id"]),
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(dot / (F.col("norm") * F.col("qnorm")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int) -> np.ndarray:
     """md5-derived deterministic hyperplanes (functions/hashfam.py) so the
     DuckDB oracle can inline the exact same values and recompute buckets."""

@@ -121,3 +121,65 @@ def test_lsh_topk_recall_vs_exact(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_map:
             assert exact_map[key] == r["cos_sim"]
+
+
+def _clustered_emb(spark, n=200, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        center = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        vec = [c + rng.gauss(0, 0.15) for c in center for _ in range(8)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_lsh_neardup_pairs_subset_of_exact(spark):
+    """Bucketed near-dup pairs must be a SUBSET of the exact O(n^2) pairs
+    (identical scoring, recall < 1 only from bucketing), with useful
+    recall on clustered data."""
+    from ocr_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    emb = _clustered_emb(spark)
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in embedding_neardup_pairs(
+                 emb, "vec_id", "embedding", threshold=0.95).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["cos_sim"]
+              for r in lsh_neardup_pairs(
+                  emb, "vec_id", "embedding",
+                  threshold=0.95, num_planes=4).collect()}
+    assert approx, "bucketing found no pairs on clustered data"
+    assert set(approx) <= set(exact)
+    assert len(approx) / len(exact) >= 0.3
+    for k, v in approx.items():
+        assert exact[k] == v  # same cosine, no approximation in scoring
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from ocr_spark.operators.similarity import ivf_topk
+
+    emb = _clustered_emb(spark)
+    qids = [0, 1, 2, 3]
+    exact = cosine_topk(emb, "vec_id", "embedding", qids, k=10).collect()
+    approx = ivf_topk(emb, "vec_id", "embedding", qids, k=10,
+                      num_centroids=8, nprobe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    exact_map = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert exact_map[key] == r["cos_sim"]
