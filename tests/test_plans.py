@@ -96,3 +96,43 @@ def test_inrow_extraction_has_no_doc_shuffle(spark):
     blobs = spark.read.parquet(os.path.join(cdir, "media_blobs.parquet"))
     out = run_extraction_inrow(docs, blobs)
     assert exchange_count(out) == 0, executed_plan(out)
+
+
+def test_minhash_signature_agg_is_partial(spark):
+    """MinHash signatures must reduce map-side (partial_min before the
+    exchange): hot shingles then never skew the shuffle."""
+    from ocr_spark.operators.dedup import minhash_signatures, word_shingles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = minhash_signatures(word_shingles(docs, "doc_id", "text", 3), 8)
+    plan = executed_plan(sig)
+    assert "partial_min" in plan, plan
+
+
+def test_dedup_scan_prunes_to_id_and_text(spark):
+    """Shingling reads exactly (doc_id, text) from the documents scan."""
+    from ocr_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    schemas = " ".join(read_schemas(word_shingles(docs, "doc_id", "text")))
+    assert "text" in schemas and "doc_id" in schemas
+    assert "lang" not in schemas and "source" not in schemas, schemas
+
+
+def test_no_inferred_generate_filter_blowup(spark):
+    """Regression pin for the InferFiltersFromGenerate exclusion: the
+    shingle expression must appear in the plan ONCE (a Project feeding
+    Generate), never re-inlined into a pushed-down Filter — that filter
+    re-evaluates split() per element_at, O(len^2) per doc."""
+    from ocr_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = executed_plan(word_shingles(docs, "doc_id", "text"))
+    assert plan.count("array_distinct") <= 1, plan
+
+
+def test_ann_lsh_candidate_join_is_broadcast(spark):
+    """LSH top-k: the tiny query-probe side must broadcast (no shuffle of
+    the full bucketed table against 5 queries)."""
+    df = entry_mod.ann_lsh_topk(spark, SF_DIR)
+    assert has_broadcast_join(df)
