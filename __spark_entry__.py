@@ -368,14 +368,19 @@ def f6_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def w3_seeded_random_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY RANDOM() with a fixed seed (reference random select,
-    /root/reference/src/database/SQLiteHelper.py:170-172). Seeded rand is
-    engine-specific -> no SQL oracle (rows-only check); determinism within
-    Spark is covered by pytest."""
+    /root/reference/src/database/SQLiteHelper.py:170-172). The seeded
+    permutation is keyed on md5(seed || key) instead of the engine's
+    rand(seed) — the same uniform pseudo-random shuffle, but
+    engine-neutral, so the DuckDB oracle reproduces it exactly (the
+    rows-only gap this query had in round 1 is closed). Returns the
+    sampled rows with their permutation position."""
     cust = _t(spark, sf_dir, "customer")
+    key = F.md5(F.concat(F.lit("w3:42:"), F.col("c_custkey").cast("string")))
+    w = W.orderBy(key, F.col("c_custkey"))
     return (
-        cust.orderBy(F.rand(42), "c_custkey")
-        .limit(100)
-        .select("c_custkey", "c_name")
+        cust.select("c_custkey", "c_name",
+                    F.row_number().over(w).cast("long").alias("pos"))
+        .filter(F.col("pos") <= 100)
     )
 
 
@@ -1378,4 +1383,13 @@ def oracle_sql() -> dict[str, str]:
         # renderer/recognizer pair is exactly invertible).
         "m6_crop_half_ocr": _m6_crop_oracle(),
         "r4_quadrant_spans": _r4_quadrant_oracle(),
+        "w3_seeded_random_order": """
+            SELECT c_custkey, c_name, pos FROM (
+              SELECT c_custkey, c_name,
+                     row_number() OVER (
+                       ORDER BY md5('w3:42:' || c_custkey), c_custkey
+                     ) AS pos
+              FROM customer
+            ) WHERE pos <= 100
+        """,
     }
