@@ -97,13 +97,27 @@ def _transform_batch(batch: pa.RecordBatch,
     offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
 
-    kinds = flat.field("kind").to_pylist()
-    texts = flat.field("text").to_pylist()
-    refs = flat.field("media_ref").to_pylist()
-    out_texts = [
-        strip_boilerplate(t) if k == "text" else media_text.get(r, "")
-        for k, t, r in zip(kinds, texts, refs)
+    # kind dispatch stays in Arrow/numpy: only the strings each branch
+    # actually consumes are materialized as Python objects (media-heavy
+    # batches skip building every null text value; the per-string regex
+    # work in strip_boilerplate is the only inherently-Python part)
+    import pyarrow.compute as pc
+
+    is_text = np.asarray(
+        pc.fill_null(pc.equal(flat.field("kind"), "text"), False)
+    )
+    idx_text = np.flatnonzero(is_text)
+    idx_media = np.flatnonzero(~is_text)
+    out = np.empty(len(is_text), dtype=object)
+    out[idx_text] = [
+        strip_boilerplate(t)
+        for t in flat.field("text").take(pa.array(idx_text)).to_pylist()
     ]
+    out[idx_media] = [
+        media_text.get(r, "")
+        for r in flat.field("media_ref").take(pa.array(idx_media)).to_pylist()
+    ]
+    out_texts = out.tolist()
 
     kind_arr = flat.field("kind")
     ref_arr = flat.field("media_ref")
