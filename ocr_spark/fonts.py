@@ -126,8 +126,12 @@ def detect_rotation(img: np.ndarray, threshold: int = 64) -> int:
         score = dists.min(axis=1).sum() / max(len(inked), 1)
         if best_score is None or score < best_score:
             best_k, best_score = k, score
-            if score == 0:
-                break  # exact alignment; earlier k wins ties by order
+            from .preprocess import ROTATION_ACCEPT_SCORE
+
+            if score < ROTATION_ACCEPT_SCORE:
+                break  # upright (speckled uprights score < 1; wrong
+                # right-angle rotations score ~8+) — same early-accept
+                # as the batch recognizer so both decode identically
     return best_k
 
 

@@ -180,18 +180,25 @@ def run_extraction_inrow(
     (operators/extraction.py) instead of silently OOMing the driver.
     """
     spark = docs.sparkSession
-    pruned = blobs.join(F.broadcast(_needed_refs(docs)), "media_ref",
-                        "left_semi")
-    stats = pruned.agg(
-        F.count("*").alias("n_refs"),
-        F.sum(F.col("width").cast("long") * F.col("height")).alias("px"),
-    ).first()
-    est_bytes = (stats["px"] or 0) // 60  # >= chars upper bound per cell
-    if stats["n_refs"] > max_refs or est_bytes > max_est_bytes:
-        from .extraction import run_extraction
+    # the distinct-ref set (tiny: ref strings only) feeds two jobs — the
+    # budget-guard aggregate and the OCR prune — persist it so the nested
+    # doc scan behind it runs once, not once per job
+    needed = _needed_refs(docs).persist()
+    try:
+        pruned = blobs.join(F.broadcast(needed), "media_ref", "left_semi")
+        stats = pruned.agg(
+            F.count("*").alias("n_refs"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("px"),
+        ).first()
+        est_bytes = (stats["px"] or 0) // 60  # >= chars upper bound per cell
+        if stats["n_refs"] > max_refs or est_bytes > max_est_bytes:
+            from .extraction import run_extraction
 
-        return run_extraction(docs, blobs)
-    bc = spark.sparkContext.broadcast(recognized_map(docs, blobs, pruned))
+            return run_extraction(docs, blobs)
+        bc = spark.sparkContext.broadcast(
+            recognized_map(docs, blobs, pruned))
+    finally:
+        needed.unpersist()
 
     def _process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         media_text = bc.value

@@ -119,13 +119,15 @@ class _Recognizer:
         the best template alignment; upright renders score 0 on the first
         candidate so the common case classifies ONCE. Returns
         (char grid, score, per-cell min-Hamming grid, rotation k)."""
+        from ..preprocess import ROTATION_ACCEPT_SCORE
+
         best = None
         for k in (0, 1, 2, 3):
             grid, score, mins = self._classify_full(np.rot90(binary, k))
             if best is None or score < best[1]:
                 best = (grid, score, mins, k)
-                if score == 0:
-                    break
+                if score < ROTATION_ACCEPT_SCORE:
+                    break  # upright (speckles score << wrong rotations)
         return best
 
     @staticmethod

@@ -50,6 +50,12 @@ FRAME_MARGIN = 2          # frame line + 1 blank row/col on each side
 SPECKLE_INK_MAX = 2       # cells with <= this many ink px are noise
 MAX_SPECKLES_PER_CELL = 2
 UPSCALE_FACTORS = (3, 2)  # detection order (largest first)
+# Rotation search early-accept: a candidate orientation scoring below this
+# mean min-Hamming is upright (speckled uprights score well under 1 bit
+# per inked cell; wrong right-angle rotations score ~8+ against 5x7
+# templates with min pairwise distance 7). Shared by the recognizer and
+# the pure-numpy oracle so both decode identically.
+ROTATION_ACCEPT_SCORE = 1.0
 
 
 # --------------------------------------------------------------------------
@@ -132,6 +138,11 @@ def try_collapse_upscale(img: np.ndarray) -> np.ndarray:
     image is not an integer upscale (1-px glyph features break block
     constancy on plain renders)."""
     h, w = img.shape
+    # cheap reject: any k>=2 upscale duplicates row 0 into row 1; plain
+    # renders differ there almost surely (1-px glyph features), so most
+    # images skip the O(pixels) block comparison entirely
+    if h < 2 or not np.array_equal(img[0], img[1]):
+        return img
     for k in UPSCALE_FACTORS:
         if k < 2 or h % k or w % k or h == 0 or w == 0:
             continue

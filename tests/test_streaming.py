@@ -162,11 +162,26 @@ def test_live_processing_time_trigger(spark, tmp_path, corpus):
                 time.sleep(0.5)
             raise AssertionError(f"results never reached {n_docs} docs")
 
+        def _wait_audit_batches(n: int, timeout: float = 90.0) -> None:
+            # the audit append commits AFTER the results merge inside the
+            # same foreachBatch; wait for it before stopping the query or
+            # the second batch's lineage row may not have landed yet
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                snap = audit.read(spark)
+                if snap is not None:
+                    ids = {r["batch_id"] for r in snap.collect()}
+                    if len(ids) >= n:
+                        return
+                time.sleep(0.5)
+            raise AssertionError(f"audit never reached {n} batch ids")
+
         _wait_for(10)
         assert q.isActive  # live query keeps running after the drop
         # a second frame arrives while the query is live
         _drop_batch(corpus, inbox, "frame2", 10, 25)
         _wait_for(25)
+        _wait_audit_batches(2)
         assert q.isActive
     finally:
         q.stop()
