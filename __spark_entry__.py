@@ -629,6 +629,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: k-gram rolling hash +
+    window-min selection. md5-derived hash family -> full DuckDB oracle."""
+    from ocr_spark.operators.dedup import winnowing_fingerprints
+
+    # fan the per-char hashing out past the (few) input splits; the
+    # exchange carries raw text only (at scale, splits abound and AQE
+    # coalesces this)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. Full DuckDB oracle (md5-chunk bit votes);
     pytest-verified vs exact Jaccard overlap as well."""
@@ -737,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "text_winnowing_fp": text_winnowing_fp,
         "ann_cosine_topk": ann_cosine_topk,
         "emb_neardup_pairs": emb_neardup_pairs,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1373,6 +1389,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Hash-family queries: the md5-derived family (functions/hashfam.py)
         # is engine-neutral, so these get full value-hash oracles too.
+        "text_winnowing_fp": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents
+            ), f AS (
+              SELECT doc_id, t FROM base WHERE length(t) >= 8
+            ), h AS (
+              SELECT doc_id,
+                     [('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
+                        % 2147483647
+                      for i in generate_series(1, length(t) - 4)] AS hs
+              FROM f
+            ), e AS (
+              SELECT doc_id, hs,
+                     unnest(generate_series(1, len(hs) - 3)) AS i
+              FROM h
+            )
+            SELECT DISTINCT doc_id,
+                   (i + list_position(hs[i:i+3], list_min(hs[i:i+3]))
+                      - 1)::BIGINT AS pos,
+                   list_min(hs[i:i+3]) AS fp
+            FROM e
+        """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

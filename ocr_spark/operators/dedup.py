@@ -213,6 +213,63 @@ def minhash_lsh_candidates(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every character k-gram of the normalized text,
+    slide a window of `window` consecutive hashes, and record the minimum
+    hash of each window with its position (leftmost minimum on ties —
+    deterministic and, with the md5-derived base60 hash family, exactly
+    reproducible by the DuckDB oracle).
+
+    Guarantees: any shared substring of length >= window + k - 1 between
+    two documents yields at least one shared fingerprint — the standard
+    local-dedup primitive for plagiarism/near-dup detection at scale.
+
+    Returns (id, pos, fp) distinct rows; everything is Catalyst array
+    expressions (one projection, no Python), so the per-doc work stays in
+    whole-stage codegen and the only shuffle is the final distinct.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("id"), norm.alias("t")
+    ).filter(F.length("t") >= k + window - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("t") - k + 1),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.col("t").substr(i, F.lit(k))), 1, 15),
+                16, 10,
+            ).cast("long")
+            % F.lit(MINHASH_P)
+        ),
+    )
+    with_h = base.select("id", hashes.alias("hs"))
+    # window minima with positions: for window start i (1-based), the
+    # fingerprint is min(hs[i..i+window-1]); pos = leftmost argmin
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - window + 1),
+        lambda i: F.struct(
+            F.array_min(F.slice("hs", i, window)).alias("fp"),
+            (i + F.array_position(
+                F.slice("hs", i, window),
+                F.array_min(F.slice("hs", i, window)),
+            ) - 1).alias("pos"),
+        ),
+    )
+    return (
+        with_h.select("id", F.explode(mins).alias("w"))
+        .select("id", F.col("w.pos").cast("long").alias("pos"),
+                F.col("w.fp").alias("fp"))
+        .distinct()
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -183,3 +183,25 @@ def test_ivf_topk_recall_vs_exact(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_map:
             assert exact_map[key] == r["cos_sim"]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing property: documents sharing a substring of length >=
+    window + k - 1 share at least one fingerprint; disjoint-alphabet
+    documents share none."""
+    from ocr_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"completely different opening {shared} and ending"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
