@@ -191,3 +191,64 @@ def test_live_processing_time_trigger(spark, tmp_path, corpus):
     assert {r["phase"] for r in audit_rows} == {"stream"}
     # the two frames were processed by different micro-batches
     assert len({r["batch_id"] for r in audit_rows}) >= 2
+
+
+def test_stateful_stream_dedup_first_seen(spark, tmp_path, corpus):
+    """applyInPandasWithState dedup: one keeper per distinct payload
+    across micro-batches; in-batch duplicates resolve to min doc_id and
+    re-delivered payloads in later batches are dropped by managed state."""
+    import pyarrow as pa
+
+    from ocr_spark.schemas import DOCUMENTS_SCHEMA
+    from ocr_spark.streaming.stateful import stream_dedup_first_seen
+
+    docs_tbl = corpus["documents_interleaved"]
+
+    def _dup(tbl, lo, hi, prefix):
+        part = tbl.slice(lo, hi - lo)
+        renamed = pa.table({
+            "doc_id": pa.array([f"{prefix}{v}" for v in
+                                part["doc_id"].to_pylist()]),
+            "spans": part["spans"],
+        })
+        return pa.concat_tables([part, renamed])
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    # batch 1: docs 0..10 plus in-batch duplicates of them
+    pq.write_table(_dup(docs_tbl, 0, 10, "zdup-"),
+                   os.path.join(inbox, "b1.parquet"))
+    # batch 2: re-delivery of the same 10 payloads under new ids + 5 new
+    part2 = pa.concat_tables([
+        _dup(docs_tbl, 0, 10, "redeliver-").slice(10, 10),
+        docs_tbl.slice(10, 5),
+    ])
+    pq.write_table(part2, os.path.join(inbox, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    keepers = stream_dedup_first_seen(stream)
+    sink = str(tmp_path / "keepers")
+    q = (
+        keepers.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.schema(keepers.schema).parquet(sink).collect()
+    by_fp = {r["fp"]: r["doc_id"] for r in got}
+    # one keeper per distinct payload; none of the dup/redelivered ids win
+    assert len(got) == len(by_fp)
+    n_distinct_payloads = len({
+        r["fp"] for r in got
+    })
+    assert n_distinct_payloads == 15  # 10 from batch1 + 5 new in batch2
+    assert all(not d.startswith(("zdup-", "redeliver-"))
+               for d in by_fp.values())
