@@ -136,3 +136,12 @@ def test_ann_lsh_candidate_join_is_broadcast(spark):
     the full bucketed table against 5 queries)."""
     df = entry_mod.ann_lsh_topk(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+def test_rendered_doc_queries_prune_scan(spark):
+    """The render/OCR driver queries must read only (doc_id, text) from
+    the documents scan — lang/source/n_chars stay out."""
+    df = entry_mod.m6_crop_half_ocr(spark, SF_DIR)
+    schemas = " ".join(read_schemas(df))
+    assert "doc_id" in schemas and "text" in schemas
+    assert "lang" not in schemas and "n_chars" not in schemas, schemas

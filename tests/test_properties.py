@@ -141,3 +141,22 @@ def test_voucher_known_cases():
          "but not 1234 1234 1234 1234 nor 123412341234123 "
          "nor 11112222333344445")
     assert extract_voucher_codes(t) == ["1111222233334444"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(_TEXT, st.integers(0, 3), st.booleans(),
+       st.randoms(use_true_random=False))
+def test_recognizer_matches_pure_oracle(text, k, warp, rng):
+    """The batch recognizer (operators/ocr._Recognizer) and the pure-numpy
+    oracle (fonts.decode_bitmap) must decode every variant identically."""
+    from ocr_spark.operators.ocr import _Recognizer
+
+    img = render_text(text)
+    if warp:
+        img = warp_image(np.ascontiguousarray(np.rot90(img, k)), 5, 16)
+    else:
+        img = add_speckles(img, rng, 6)
+        img = np.ascontiguousarray(np.rot90(img, k))
+    r = _Recognizer.get()
+    got = r.recognize(img.tobytes(), img.shape[0], img.shape[1])
+    assert got == decode_bitmap(img) == _expected(text)
