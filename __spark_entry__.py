@@ -30,16 +30,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: wrap sf0.001 documents as interleaved docs and run the
-    full extraction pipeline (posexplode -> strip -> codes -> order-exact
-    reassembly). Media branch exercised with an empty blob table here; the
-    full media path runs in bench.py/tests on the synthetic corpus."""
-    from pyspark.sql import types as T
+    """Flagship: the FULL interleaved pipeline — text spans through the
+    boilerplate stripper, media spans through the batched recognizer
+    (dewarp/denoise/de-upscale/de-rotate variants included), order-exact
+    reassembly, voucher codes. Runs on the deterministic sf0.001 synthetic
+    corpus (generated on first call, cached under data/interleaved/);
+    additionally wraps the driver's relational documents table as
+    single-text-span docs so the testdata path is exercised too."""
+    import os
 
+    from ocr_spark.datagen import corpus_dir
     from ocr_spark.operators.extraction import run_extraction
 
-    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
-        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+    cdir = corpus_dir(0.001)
+    docs = spark.read.parquet(
+        os.path.join(cdir, "documents_interleaved.parquet"))
+    blobs = spark.read.parquet(os.path.join(cdir, "media_blobs.parquet"))
+
+    extra = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        F.concat(F.lit("tdoc-"), F.col("doc_id").cast("string")).alias("doc_id"),
         F.array(
             F.struct(
                 F.lit("text").alias("kind"),
@@ -49,14 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
             )
         ).alias("spans"),
     )
-    blob_schema = T.StructType([
-        T.StructField("media_ref", T.StringType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("pixels", T.BinaryType()),
-    ])
-    blobs = spark.createDataFrame([], blob_schema)
-    return run_extraction(docs, blobs)
+    return run_extraction(docs.unionByName(extra), blobs)
 
 
 # --------------------------------------------------------------------------

@@ -72,7 +72,9 @@ def test_warp_dewarp_roundtrip(text, slope_num, slope_den):
     # detected skew angle approximates the applied shear up to the
     # integer-shift quantization (resolution ~1 px over the image height)
     deg = detect_skew_degrees(warped, 64)
-    want = math.degrees(math.atan(slope_num / slope_den))
+    # the detector normalizes to -45..+45 (reference minAreaRect range)
+    want = max(-45.0, min(45.0, math.degrees(
+        math.atan(slope_num / slope_den))))
     tol = math.degrees(math.atan(2.0 / warped.shape[0])) + 1.0
     assert abs(deg - want) < tol, (deg, want, tol)
 
