@@ -54,9 +54,18 @@ _SPANS_SCHEMA = T.StructType([
 
 def _needed_refs(docs: DataFrame) -> DataFrame:
     """Distinct media_refs used by `docs` (nested-pruned scan: only
-    spans.media_ref is read)."""
+    spans.media_ref is read).
+
+    The scan is coalesced to ~2 tasks/core: this key-only projection
+    reads a few bytes per file, so with small file splits the job is
+    task-overhead-bound — measured 3.1s -> 1.0s at SF=4 local[32] (and it
+    ANTI-scaled with cores before: footer-open/scheduling contention).
+    Coalesce merges splits without a shuffle; the main document pass uses
+    the original DataFrame and keeps full scan parallelism."""
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        docs.select(F.explode("spans.media_ref").alias("media_ref"))
+        docs.coalesce(par)
+        .select(F.explode("spans.media_ref").alias("media_ref"))
         .where(F.col("media_ref").isNotNull())
         .distinct()
     )
