@@ -119,8 +119,15 @@ def j3_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def j1_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join with a pushed-down date predicate on the subtracted side:
+    customers with NO order since 2000-07-01 (the unpredicated variant is
+    vacuously empty on the driver tables — every customer has orders — so
+    the cutoff is calibrated to leave a stable nonzero remainder:
+    30/292/2848 rows at sf0.001/0.01/0.1)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-07-01"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -193,9 +200,21 @@ def a8_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def u4_viewers_minus_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference at (user, day) granularity: days on which a user
+    viewed but did not purchase. (Plain user-level viewers-minus-
+    purchasers is vacuously empty on the driver tables — every user has
+    every event type — so the difference runs on day keys instead:
+    96/1060/10280 rows at sf0.001/0.01/0.1.)"""
     ev = _t(spark, sf_dir, "events")
-    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    day = F.date_format("ts", "yyyy-MM-dd").alias("view_day")
+    viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", day).distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day).distinct()
+    )
     return viewers.exceptAll(buyers)
 
 
@@ -676,7 +695,10 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    # Threshold calibrated to the driver embeddings (near-random vectors,
+    # max pair-sim 0.48..0.60): 0.40 keeps 66/59/920 pairs at
+    # sf0.001/0.01/0.1, so the pair generation + filter actually execute.
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.40)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +722,12 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import lsh_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    # threshold 0.35 / 6 planes calibrated against the driver embeddings:
+    # 15/16/276 surviving bucketed pairs at sf0.001/0.01/0.1 (8 planes at
+    # higher thresholds collapse to 0 rows — a vacuous oracle).
+    return lsh_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, num_planes=6
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,7 +1140,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j1_anti_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderdate >= '2000-07-01'
+            )
         """,
         "j4_positional_pairs": """
             WITH v AS (
@@ -1149,9 +1179,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "u4_viewers_minus_purchasers": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS view_day
+            FROM events WHERE event_type = 'view'
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS view_day
+            FROM events WHERE event_type = 'purchase'
         """,
         "p1_token_explode": r"""
             WITH t AS (
@@ -1387,7 +1419,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cos_sim
             FROM base a JOIN base b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.9
+            WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.4
         """,
         # Hash-family queries: the md5-derived family (functions/hashfam.py)
         # is engine-neutral, so these get full value-hash oracles too.
@@ -1418,7 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
-        "emb_neardup_lsh": _emb_neardup_lsh_oracle(),
+        "emb_neardup_lsh": _emb_neardup_lsh_oracle(num_planes=6, threshold=0.35),
         "ann_ivf_topk": _ann_ivf_oracle(),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the

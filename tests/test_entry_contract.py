@@ -78,6 +78,23 @@ def test_query_matches_oracle(spark, duck, name):
     assert not diffs, f"{name}: {len(diffs)} row diffs; first: {diffs[0]}"
 
 
+# Queries whose round-2 forms returned 0 rows on both engines (a "pass"
+# with no evidential power). Their predicates/thresholds are calibrated
+# to the driver tables; pin that they stay non-vacuous.
+NON_VACUOUS = [
+    "j1_anti_customers_without_orders",
+    "u4_viewers_minus_purchasers",
+    "emb_neardup_pairs",
+    "emb_neardup_lsh",
+]
+
+
+@pytest.mark.parametrize("name", NON_VACUOUS)
+def test_calibrated_queries_non_vacuous(spark, name):
+    fn = entry_mod.queries()[name]
+    assert fn(spark, SF_DIR).count() > 0, f"{name} is vacuous (0 rows)"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     fn = entry_mod.queries()[name]
