@@ -115,7 +115,24 @@ def curate_and_extract(
         if lineage is not None:
             lin = dup_map
             if cross_dups is not None:
-                lin = lin.unionByName(cross_dups)
+                # An in-batch keeper can itself be dropped in this same
+                # run as a cross-run fp-duplicate; rewrite those
+                # keeper_ids to the COMMITTED keeper so every lineage row
+                # resolves to a surviving result row in one join hop (no
+                # transitive chase through the keeper's own lineage row).
+                remap = cross_dups.select(
+                    F.col("doc_id").alias("keeper_id"),
+                    F.col("keeper_id").alias("_final_keeper"),
+                )
+                lin = (
+                    dup_map.join(remap, "keeper_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("_final_keeper", "keeper_id")
+                        .alias("keeper_id"),
+                    )
+                    .unionByName(cross_dups)
+                )
             lin = (
                 lin.withColumn("phase", F.lit("dedup"))
                 .withColumn("committed_at", F.current_timestamp())

@@ -5,12 +5,13 @@ operators.
 The engine treats every media payload as an opaque ``binary`` column plus
 a typed metadata struct — the only schema that survives 100 TB (pixels /
 samples never shuffle; metadata prunes). Image ops are REAL over this
-repo's raw-bitmap domain (the same pixels the OCR path reads). Audio and
-video decoding need codec libraries that do not ship in this sandbox, so
-the decode step is stubbed exactly as a production skeleton would be:
-``try: import librosa/av`` and otherwise a clearly-marked deterministic
-fake (md5-derived values) — the Spark-side plumbing (schemas, mapInPandas
-signatures, per-batch shapes, explode geometry) is real and tested.
+repo's raw-bitmap domain (the same pixels the OCR path reads). Audio ops
+are REAL too: stdlib ``wave`` decode + ``np.fft`` windowed band energies
+(no codec library required). Only per-frame VIDEO pixel decode still
+needs a codec library absent from this sandbox, so that one step is a
+clearly-marked deterministic stub — the Spark-side plumbing (schemas,
+mapInPandas signatures, per-batch shapes, explode geometry) is real and
+tested, and malformed assets are skipped rather than failing the task.
 
 Reference parity: the reference canonicalizes every input through PNG
 decode (/root/reference/src/ocr/cli.py:100-112, incl. AVIF via imageio)
@@ -115,10 +116,17 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
             rows = []
             for aid, px, m in zip(pdf["asset_id"], pdf["payload"],
                                   pdf["meta"]):
-                dur = int(m["duration_ms"])
-                n_frames = int(m["n_frames"])
-                for i, ts in enumerate(range(0, dur, every_ms)):
-                    frame_no = min(n_frames - 1, (ts * n_frames) // max(dur, 1))
+                # Malformed assets (null meta, zero frames/duration) are
+                # skipped, not fatal: one bad row must not kill a task
+                # holding millions of good rows.
+                if m is None:
+                    continue
+                dur = int(m["duration_ms"] or 0)
+                n_frames = int(m["n_frames"] or 0)
+                if dur <= 0 or n_frames <= 0:
+                    continue
+                for ts in range(0, dur, every_ms):
+                    frame_no = min(n_frames - 1, (ts * n_frames) // dur)
                     rows.append((aid, frame_no, ts,
                                  _decode_frame_stub(px, frame_no)))
             yield pd.DataFrame(
@@ -130,7 +138,7 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# audio: feature extraction (decode stubbed behind an import-try)
+# audio: REAL feature extraction (stdlib WAV decode + windowed FFT bands)
 # --------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = T.StructType([
@@ -139,47 +147,109 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("features", T.ArrayType(T.FloatType())),
 ])
 
-N_MEL = 8  # feature width (MFCC-shaped)
+N_MEL = 8          # feature width (MFCC-shaped band count)
+WINDOW_MS = 25     # analysis window (hop == window, no overlap)
 
 
-def _audio_features_one(payload: bytes, sample_rate: int,
-                        duration_ms: int) -> tuple[int, list[float]]:
-    """Per-asset feature vector. Real libraries are absent in this
-    container, so the spectral decode is a deterministic md5-derived
-    fake with the REAL output geometry: one N_MEL-wide window per 25 ms
-    of audio, mean-pooled to a single vector."""
-    try:  # pragma: no cover - librosa does not ship in this sandbox
-        import librosa  # noqa: F401
+def make_wav(freqs_hz: list[float], duration_ms: int,
+             sample_rate: int = 16000, amplitude: float = 0.5) -> bytes:
+    """Synthesize a 16-bit PCM mono WAV of summed sine tones (stdlib
+    ``wave`` writer). The sandbox-side generator for audio payloads —
+    deterministic, so tests and datagen produce identical bytes."""
+    import io
+    import wave
 
-        raise NotImplementedError(
-            "wire librosa.feature.mfcc here when codecs are available")
-    except ImportError:
-        pass
-    n_windows = max(1, duration_ms // 25)
-    seed = hashlib.md5(payload).digest()
-    vals = np.frombuffer(
-        hashlib.md5(seed + sample_rate.to_bytes(4, "big")).digest()
-        * ((N_MEL * 4) // 16 + 1),
-        dtype=np.uint32,
-    )[:N_MEL]
-    feats = (vals.astype(np.float64) / 2**32).astype(np.float32)
+    n = (sample_rate * duration_ms) // 1000
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    sig = np.zeros(n, dtype=np.float64)
+    for f in freqs_hz:
+        sig += np.sin(2.0 * np.pi * f * t)
+    if freqs_hz:
+        sig *= amplitude / len(freqs_hz)
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Decode a PCM WAV payload to (float64 mono samples in [-1, 1],
+    sample_rate); None when the payload is not decodable WAV (the caller
+    skips the asset — one bad blob must not fail the task)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sw = wf.getsampwidth()
+            nch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+            rate = wf.getframerate()
+    except (wave.Error, EOFError, ValueError):
+        return None
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # unsigned 8-bit PCM
+        samples = (np.frombuffer(raw, dtype=np.uint8)
+                   .astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        samples = samples[: (len(samples) // nch) * nch]
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def _audio_features_one(payload: bytes) -> tuple[int, list[float]] | None:
+    """REAL spectral features from a WAV payload: the signal is split
+    into 25 ms windows (hop == window), each window's rFFT power spectrum
+    is pooled into N_MEL contiguous frequency bands, and log band
+    energies are averaged across windows. Equivalent in shape to an
+    MFCC-style pipeline minus the mel warp/DCT (stdlib-only: ``wave`` +
+    ``np.fft`` — no codec libraries needed, so nothing is stubbed).
+
+    Reference parity: the reference's audio surface is absent (it is an
+    OCR app); this operator exists for the LLM-pipeline extension, so the
+    contract here is "real decode + real spectral math", verified by
+    planting known tones and asserting band-energy concentration."""
+    decoded = _wav_decode(payload)
+    if decoded is None:
+        return None
+    samples, rate = decoded
+    win = max(1, (rate * WINDOW_MS) // 1000)
+    n_windows = max(1, len(samples) // win)
+    frames = samples[: n_windows * win].reshape(n_windows, win)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_windows, win//2+1)
+    n_bins = spec.shape[1]
+    edges = (np.arange(N_MEL + 1) * n_bins) // N_MEL
+    bands = np.stack(
+        [spec[:, edges[b]:edges[b + 1]].sum(axis=1) for b in range(N_MEL)],
+        axis=1,
+    )
+    feats = np.log10(1.0 + bands).mean(axis=0).astype(np.float32)
     return n_windows, [float(x) for x in feats]
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """(asset_id, n_windows, features[N_MEL]) per audio asset."""
+    """(asset_id, n_windows, features[N_MEL]) per audio asset; assets
+    whose payload is not decodable WAV are skipped (defensive, logged by
+    omission into the lineage counts, never fatal)."""
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for aid, px, m in zip(pdf["asset_id"], pdf["payload"],
-                                  pdf["meta"]):
-                n, f = _audio_features_one(
-                    px, int(m["sample_rate"]), int(m["duration_ms"]))
-                rows.append((aid, n, f))
+            for aid, px in zip(pdf["asset_id"], pdf["payload"]):
+                nf = _audio_features_one(px)
+                if nf is None:
+                    continue
+                rows.append((aid, nf[0], nf[1]))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "n_windows", "features"])
 
     auds = media.filter(F.col("kind") == "audio").select(
-        "asset_id", "payload", "meta")
+        "asset_id", "payload")
     return auds.mapInPandas(_feat, schema=AUDIO_FEATURES_SCHEMA)

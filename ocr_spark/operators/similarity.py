@@ -199,13 +199,27 @@ def _ivf_centroids(dim: int, num_centroids: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1)[:, None]
 
 
+def _vec_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding width from one driver job (first non-null row).
+
+    Raises ValueError on an empty input instead of the TypeError that
+    ``first()[0]`` would produce. Callers that already hold a vector
+    (e.g. a collected query set) pass ``dim`` through instead."""
+    row = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim: no rows with non-null {vec_col}")
+    return len(row[0])
+
+
 def with_ivf_cells(
     emb: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, vec, norm, cell): cell = argmax dot(vec, unit centroid) —
     first index wins ties (matches the oracle's row_number rule). One
     matmul per Arrow batch."""
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
     centroids = _ivf_centroids(dim, num_centroids)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
@@ -245,9 +259,6 @@ def ivf_topk(
     probe list is tiny and broadcast. Recall < 1 by design (tested for
     overlap vs the exact baseline). Returns (query_id, neighbor_id,
     cos_sim, rank)."""
-    base = with_ivf_cells(emb, id_col, vec_col, num_centroids)
-    dim = len(emb.select(vec_col).first()[0])
-    centroids = _ivf_centroids(dim, num_centroids)
     spark = emb.sparkSession
 
     qpdf = (
@@ -256,6 +267,14 @@ def ivf_topk(
                 F.col(vec_col).cast("array<double>").alias("qvec"))
         .toPandas()
     )
+    # dim comes from the query vectors already collected — zero extra
+    # driver jobs (round-2 ran emb.first() twice per invocation here).
+    if len(qpdf):
+        dim = len(qpdf["qvec"].iloc[0])
+    else:
+        dim = _vec_dim(emb, vec_col)  # raises cleanly on empty input
+    base = with_ivf_cells(emb, id_col, vec_col, num_centroids, dim=dim)
+    centroids = _ivf_centroids(dim, num_centroids)
     qmat = _matrix(qpdf["qvec"])
     qnorms = np.linalg.norm(qmat, axis=1)
     qnorms[qnorms == 0] = 1.0
@@ -312,7 +331,7 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """(id, vec, norm, bucket): sign-bit bucket of hyperplane projections,
     computed as one matmul per Arrow batch."""
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _vec_dim(emb, vec_col)
     planes = _hyperplanes(dim, num_planes)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(planes)

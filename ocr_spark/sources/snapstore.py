@@ -177,6 +177,19 @@ class SnapshotTable:
             )
         return out
 
+    def _discard_data(self, new_files: dict[str, list[str]]) -> None:
+        """Remove the writer-unique data dirs behind ``new_files`` — called
+        when a commit loses the optimistic-concurrency race, so a retried
+        merge does not leak parquet files unreferenced by any manifest."""
+        import shutil
+
+        vdirs = {
+            os.path.dirname(os.path.dirname(files[0]))
+            for files in new_files.values() if files
+        }
+        for d in vdirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     def append(self, df: DataFrame) -> int:
         """Append-only commit (audit-log mode): old files + new files.
 
@@ -239,7 +252,11 @@ class SnapshotTable:
         tag = (current or 0) + 1
         if current is None:
             new_files = self._write_data(updates, tag)
-            return self._commit(new_files, None)
+            try:
+                return self._commit(new_files, None)
+            except CommitConflict:
+                self._discard_data(new_files)
+                raise
 
         manifest = self._manifest(current)
         affected = sorted(
@@ -281,7 +298,11 @@ class SnapshotTable:
             if int(b) not in affected
         }
         buckets.update(new_files)
-        return self._commit(buckets, current)
+        try:
+            return self._commit(buckets, current)
+        except CommitConflict:
+            self._discard_data(new_files)
+            raise
 
     @staticmethod
     def spark_of(df: DataFrame) -> SparkSession:

@@ -94,3 +94,36 @@ def test_curate_end_to_end_and_resume(spark, tmp_path, corpus):
     # audit carries the dedup statistics
     arow = audit.read(spark).collect()[0]
     assert arow["phase"] == "curate" and arow["n_dedup_dropped"] == 10
+
+
+def test_lineage_keepers_resolve_in_one_hop(spark, tmp_path, corpus):
+    """An in-batch keeper that is itself dropped as a cross-run
+    fp-duplicate must be rewritten to the committed keeper, so joining
+    lineage.keeper_id to results.doc_id resolves EVERY dropped doc in a
+    single hop (ADVICE round 2: transitive chains broke that join)."""
+    docs, blobs, _ = corpus
+    results = SnapshotTable(str(tmp_path / "res"), key_col="doc_id",
+                            n_buckets=4)
+    audit = SnapshotTable(str(tmp_path / "aud"))
+    lineage = SnapshotTable(str(tmp_path / "lin"))
+
+    curate_and_extract(docs, blobs, results, audit, lineage=lineage)
+
+    # run 2: two NEW ids share the payload of committed doc-00000001.
+    # In-batch dedup keeps "aa-copy" (min id) and maps "ab-copy" to it;
+    # "aa-copy" then drops as a cross-run duplicate of doc-00000001.
+    clones = docs.filter(F.col("doc_id") == "doc-00000001").select(
+        F.lit("aa-copy").alias("doc_id"), "spans"
+    ).unionByName(
+        docs.filter(F.col("doc_id") == "doc-00000001").select(
+            F.lit("ab-copy").alias("doc_id"), "spans"
+        )
+    )
+    s2 = curate_and_extract(clones, blobs, results, audit, lineage=lineage)
+    assert s2["n_unique"] == 0
+
+    lin = {r["doc_id"]: r["keeper_id"]
+           for r in lineage.read(spark).collect()}
+    assert lin == {"aa-copy": "doc-00000001", "ab-copy": "doc-00000001"}
+    committed = {r["doc_id"] for r in results.read(spark).collect()}
+    assert set(lin.values()) <= committed

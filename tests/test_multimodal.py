@@ -1,5 +1,6 @@
-"""Multimodal binary-column plumbing: real image resize, stubbed (but
-schema/batch-shape real) video frame sampling and audio features."""
+"""Multimodal binary-column plumbing: real image resize, REAL audio
+features (stdlib WAV decode + FFT band energies), stubbed (but
+schema/batch-shape real) video frame sampling."""
 
 from __future__ import annotations
 
@@ -17,9 +18,15 @@ from ocr_spark.operators.multimodal import (  # noqa: E402
     MEDIA_SCHEMA,
     N_MEL,
     audio_features,
+    make_wav,
     resize_images,
     sample_frames,
 )
+
+# 440 Hz -> FFT bin 11 of a 400-sample window at 16 kHz (40 Hz/bin), which
+# lands in band 0 of 8 contiguous bands over 201 rfft bins; 2400 Hz -> bin
+# 60 -> band 2. Known geometry for the band-energy assertions below.
+WAV_1S = make_wav([440.0, 2400.0], duration_ms=1000, sample_rate=16000)
 
 
 @pytest.fixture(scope="module")
@@ -28,9 +35,15 @@ def media(spark):
     rows = [
         ("img-1", "image", img.tobytes(),
          (img.shape[1], img.shape[0], None, None, None)),
-        ("aud-1", "audio", b"\x01\x02" * 512, (None, None, 16000, 1000, None)),
+        ("aud-1", "audio", WAV_1S, (None, None, 16000, 1000, None)),
+        ("aud-bad", "audio", b"\x01\x02" * 512, (None, None, 16000, 1000, None)),
         ("vid-1", "video", b"\x03\x04" * 1024, (None, None, None, 1000, 25)),
         ("vid-2", "video", b"\x05\x06" * 64, (None, None, None, 90, 3)),
+        # malformed video rows: zero frames / zero duration / null meta —
+        # must be skipped, not fail the task (ADVICE round 2)
+        ("vid-0f", "video", b"\x07" * 32, (None, None, None, 500, 0)),
+        ("vid-0d", "video", b"\x08" * 32, (None, None, None, 0, 10)),
+        ("vid-nm", "video", b"\x09" * 32, None),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA), img
 
@@ -53,7 +66,9 @@ def test_sample_frames_geometry_and_stub(media):
     by_asset = {}
     for r in rows:
         by_asset.setdefault(r["asset_id"], []).append(r)
-    # 1000 ms at 200 ms cadence -> 5 frames; 90 ms -> 1 frame
+    # 1000 ms at 200 ms cadence -> 5 frames; 90 ms -> 1 frame; the three
+    # malformed assets are skipped entirely instead of raising
+    assert set(by_asset) == {"vid-1", "vid-2"}
     assert len(by_asset["vid-1"]) == 5
     assert len(by_asset["vid-2"]) == 1
     v1 = sorted(by_asset["vid-1"], key=lambda r: r["ts_ms"])
@@ -65,16 +80,37 @@ def test_sample_frames_geometry_and_stub(media):
     assert bytes(v1[2]["frame"]) == want
 
 
-def test_audio_features_shape(media):
+def test_audio_features_real_fft(media):
     df, _ = media
     rows = audio_features(df).collect()
+    # aud-bad is not decodable WAV -> skipped, never fatal
     assert {r["asset_id"] for r in rows} == {"aud-1"}
     r = rows[0]
-    assert r["n_windows"] == 40  # 1000 ms / 25 ms
+    assert r["n_windows"] == 40  # 16000 samples / 400-sample windows
     assert len(r["features"]) == N_MEL
-    assert all(0.0 <= x < 1.0 for x in r["features"])
+    feats = np.asarray(r["features"], dtype=np.float64)
+    # REAL spectral math: the planted 440 Hz / 2400 Hz tones concentrate
+    # energy in bands 0 and 2; every other band stays near-silent
+    loud, quiet = {0, 2}, set(range(N_MEL)) - {0, 2}
+    assert min(feats[list(loud)]) > 10 * max(feats[list(quiet)])
+    # and the values match an independent numpy recomputation bit-for-bit
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(WAV_1S), "rb") as wf:
+        samples = np.frombuffer(
+            wf.readframes(wf.getnframes()), dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    frames = samples[:16000].reshape(40, 400)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    edges = (np.arange(N_MEL + 1) * spec.shape[1]) // N_MEL
+    want = np.log10(1.0 + np.stack(
+        [spec[:, edges[b]:edges[b + 1]].sum(axis=1) for b in range(N_MEL)],
+        axis=1)).mean(axis=0).astype(np.float32)
+    assert np.array_equal(feats.astype(np.float32), want)
     # deterministic across invocations
-    again = audio_features(df).collect()[0]
+    again = [x for x in audio_features(df).collect()
+             if x["asset_id"] == "aud-1"][0]
     assert again["features"] == r["features"]
 
 

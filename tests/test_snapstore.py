@@ -209,3 +209,40 @@ def test_merge_upsert_nondeterministic_updates_safe(spark, tmp_path):
     added = [r for r in rows if r["k"].startswith("n")]
     assert len(kept) == 16, "pre-existing rows lost from a rewritten bucket"
     assert len(added) == 4
+
+
+def test_losing_commit_discards_orphan_data_files(spark, tmp_path):
+    """A merge that loses the optimistic-concurrency race must delete the
+    data directory it wrote for the failed attempt: after the retry
+    succeeds, every dir under data/ is referenced by some snapshot
+    manifest (ADVICE round 2: conflicts used to leak parquet files)."""
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=4)
+    t.merge_upsert(_df(spark, [("a", 1, ["x"])]))
+
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(buckets, base):
+        # a competitor slips in one commit just before ours on the first
+        # attempt, forcing CommitConflict -> discard -> retry
+        if not raced["done"]:
+            raced["done"] = True
+            orig_commit(dict(t._manifest(base)), base)
+        return orig_commit(buckets, base)
+
+    t._commit = racing_commit
+    t.merge_upsert(_df(spark, [("b", 2, ["y"])]))
+    t._commit = orig_commit
+
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {"a": 1, "b": 2}
+    referenced = set()
+    for v in t.versions():
+        for files in t._manifest(v).values():
+            for f in files:
+                referenced.add(os.path.dirname(os.path.dirname(f)))
+    on_disk = {
+        os.path.join(t.path, "data", d)
+        for d in os.listdir(os.path.join(t.path, "data"))
+    }
+    orphans = on_disk - referenced
+    assert not orphans, f"leaked data dirs: {sorted(orphans)}"
