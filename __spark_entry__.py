@@ -333,8 +333,12 @@ def p3_banned_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banned-set filter as a broadcast anti-join (reference always-on
     server filter, /root/reference/src/database/VoucherDatabase.js:18,
     banned set src/shared/bannedVouchers.js:4)."""
-    banned = spark.createDataFrame(
-        [("BRASS",), ("COPPER",)], ["p_type_word"]
+    # a VALUES local relation stays entirely JVM-side; createDataFrame of
+    # a Python list compiles to applySchemaToPythonRDD — a 32-task Python
+    # RDD job per invocation for a 2-row constant table (the round-2
+    # bench regression on this query)
+    banned = spark.sql(
+        "SELECT * FROM VALUES ('BRASS'), ('COPPER') AS t(p_type_word)"
     )
     part = _t(spark, sf_dir, "part").withColumn(
         "p_type_word", F.element_at(F.split("p_type", " "), -1)
