@@ -224,8 +224,19 @@ def _make_blob(bi: int, seed: int) -> dict:
             img = warp_image(img, slope_num, slope_den, ink=ink)
             tags.append("warped")
         variant = "+".join(tags) if tags else "plain"
+    # fmt=7: half the pool ships PNG-encoded (the reference canonicalizes
+    # every input through PNG decode, cli.py:100-112); the rest stays the
+    # raw fast format. Filter choice exercises the codec's vectorized
+    # decode paths (None/Sub/Up).
+    if rng.random() < 0.5 and img.size:
+        from .png_codec import encode_png
+
+        payload, codec = encode_png(img, filter_type=rng.choice([0, 1, 2])), "png"
+    else:
+        payload, codec = img.tobytes(), "raw"
     return {"media_ref": ref, "width": img.shape[1], "height": img.shape[0],
-            "pixels": img.tobytes(), "ground_text": gt, "variant": variant}
+            "pixels": payload, "ground_text": gt, "variant": variant,
+            "codec": codec}
 
 
 def _make_doc(di: int, seed: int, blob_refs: list[str],
@@ -340,7 +351,7 @@ def generate_corpus(n_docs: int, seed: int = SEED,
     blob_text = {b["media_ref"]: b["ground_text"] for b in blob_list}
     blob_rows = {k: [b[k] for b in blob_list]
                  for k in ("media_ref", "width", "height", "pixels",
-                           "ground_text", "variant")}
+                           "ground_text", "variant", "codec")}
 
     pairs = _fan(_doc_chunk, n_docs, (blob_refs, blob_text))
     doc_rows = {"doc_id": [p[0]["doc_id"] for p in pairs],
@@ -368,6 +379,7 @@ def generate_corpus(n_docs: int, seed: int = SEED,
         "pixels": pa.array(blob_rows["pixels"], pa.binary()),
         "ground_text": pa.array(blob_rows["ground_text"], pa.string()),
         "variant": pa.array(blob_rows["variant"], pa.string()),
+        "codec": pa.array(blob_rows["codec"], pa.string()),
     })
     expected_tbl = pa.table({
         "doc_id": pa.array(exp_rows["doc_id"], pa.string()),
@@ -398,7 +410,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=6 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=7 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

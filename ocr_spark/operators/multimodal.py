@@ -67,12 +67,14 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     pushdown on `kind` before any payload bytes are read."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..png_codec import blob_to_array
+
         for pdf in batches:
             rows = []
             for aid, px, m in zip(pdf["asset_id"], pdf["payload"],
                                   pdf["meta"]):
                 h, w = int(m["height"]), int(m["width"])
-                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                img = blob_to_array(px, h, w)
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
                 out = img[ys[:, None], xs[None, :]]

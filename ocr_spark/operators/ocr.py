@@ -138,7 +138,11 @@ class _Recognizer:
         return lines
 
     def recognize(self, pixels: bytes, height: int, width: int) -> str:
-        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        # canonical decode first (PNG payloads sniffed, raw passthrough) —
+        # the reference's every-input-through-PNG step (cli.py:100-112)
+        from ..png_codec import blob_to_array
+
+        img = blob_to_array(pixels, height, width)
         img = self.preprocess(img)
         binary = (img >= OCR_THRESHOLD).astype(np.uint8)
         if binary.size == 0 or not binary.any():
@@ -203,7 +207,9 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
     # bbox/confidence math happens in the RECTIFIED UPRIGHT frame
     # (reference order: dewarp -> optimize -> corrective rotate -> OCR,
     # cli.py:148-157, focus_pytesseract.py:41-48)
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    from ..png_codec import blob_to_array
+
+    img = blob_to_array(pixels, height, width)
     img = recognizer.preprocess(img)
     binary = (img >= OCR_THRESHOLD).astype(np.uint8)
     if binary.size == 0 or not binary.any():
@@ -278,6 +284,7 @@ def crop_blob_variants(blobs: DataFrame, modes: tuple[str, ...] | None = None,
     reference it feeds the per-image recall cascade; here it is a map-side
     projection (no shuffle) and the recognizer still runs once per
     distinct (ref, crop)."""
+    from ..png_codec import blob_to_array
     from ..preprocess import CROP_MODES, QUARTER_MODES, crop_image
 
     modes = tuple(modes) if modes else CROP_MODES + QUARTER_MODES
@@ -287,7 +294,7 @@ def crop_blob_variants(blobs: DataFrame, modes: tuple[str, ...] | None = None,
             rows = []
             for ref, px, h, w in zip(pdf["media_ref"], pdf["pixels"],
                                      pdf["height"], pdf["width"]):
-                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                img = blob_to_array(px, h, w)
                 for mode in modes:
                     c = crop_image(img, mode, ratio)
                     rows.append((ref, mode, c.shape[1], c.shape[0],

@@ -1,0 +1,231 @@
+"""From-scratch stdlib PNG codec for media blob payloads.
+
+The reference canonicalizes EVERY input image through a real PNG decode
+before OCR — sharp.toFormat('png') in the Node path and PIL/imageio
+(incl. the AVIF fallback) in the Python path
+(/root/reference/src/ocr/cli.py:100-112, 129-137). Until round 3 this
+engine's media domain was raw uncompressed bitmaps only; this module
+closes that gap with a complete 8-bit PNG encoder/decoder built on
+stdlib ``zlib`` + numpy — no codec library, nothing external.
+
+Scope (everything the synthetic corpus and the reference's grayscale
+canonicalization need):
+
+  * color type 0 (grayscale) encode + decode
+  * color type 2 (RGB) decode, luma-folded to grayscale with integer
+    BT.601 weights — the analog of the reference's cv2 grayscale
+    canonicalization step (image_utils.py:268-306 reads images gray)
+  * all five scanline filters (None/Sub/Up/Average/Paeth) on both sides;
+    encode filtering is fully vectorized (filters reference RAW
+    neighbors), decode vectorizes None/Sub/Up (the corpus encoder's
+    choices) and takes a scalar loop only for Average/Paeth inputs
+  * multiple IDAT chunks, ancillary chunks skipped, CRC verified
+
+Scale note: decode runs inside the Arrow-batched recognizer UDF
+(operators/ocr.py) on the per-executor deduplicated blob set. zlib
+inflate is C; de-filtering is one numpy reshape on the fast path. The
+raw-bitmap layout remains supported as the fast format — payloads are
+signature-sniffed (``blob_to_array``), so both coexist in one table.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# integer BT.601 luma, the common grayscale canonicalization
+_LUMA = (299, 587, 114)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int32 arrays (RFC 2083 section 6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _filter_rows(img: np.ndarray, ftype: int) -> np.ndarray:
+    """(h, w) uint8 -> (h, w+1) uint8 filtered scanlines (filter byte
+    first). Encode-side filtering references RAW neighbor bytes, so every
+    filter vectorizes to whole-array ops."""
+    h, w = img.shape
+    out = np.empty((h, w + 1), dtype=np.uint8)
+    out[:, 0] = ftype
+    raw = img
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    if ftype == 0:
+        out[:, 1:] = raw
+    elif ftype == 1:
+        out[:, 1:] = raw - left  # uint8 wraparound == mod-256 arithmetic
+    elif ftype == 2:
+        out[:, 1:] = raw - up
+    elif ftype == 3:
+        avg = ((left.astype(np.uint16) + up.astype(np.uint16)) >> 1)
+        out[:, 1:] = raw - avg.astype(np.uint8)
+    elif ftype == 4:
+        pred = _paeth_predict(left.astype(np.int32), up.astype(np.int32),
+                              upleft.astype(np.int32))
+        out[:, 1:] = raw - pred.astype(np.uint8)
+    else:
+        raise ValueError(f"unknown PNG filter type: {ftype}")
+    return out
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode a 2-D uint8 grayscale image as a PNG (color type 0)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"expected 2-D grayscale image, got ndim={img.ndim}")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scanlines = _filter_rows(img, filter_type).tobytes()
+    idat = zlib.compress(scanlines, level)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _iter_chunks(data: bytes):
+    pos = len(PNG_SIGNATURE)
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        yield tag, payload
+        pos += 12 + length
+        if tag == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _defilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reconstruct (h, w*bpp) uint8 samples from filtered scanlines."""
+    stride = w * bpp
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    arr = arr.reshape(h, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:]
+    if not filters.any():  # common case: every row filter 0
+        return rows.copy()
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, row = int(filters[y]), rows[y]
+        if ft == 0:
+            out[y] = row
+        elif ft == 1:
+            # left-neighbor recursion == per-channel modular cumsum
+            out[y] = np.cumsum(row.reshape(w, bpp), axis=0,
+                               dtype=np.uint8).reshape(stride)
+        elif ft == 2:
+            out[y] = row + prev
+        elif ft in (3, 4):
+            # reconstructed-left dependency: scalar scan (test coverage
+            # path; the corpus encoder emits 0/1/2 only)
+            line = out[y]
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type: {ft}")
+        prev = out[y]
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG to a 2-D uint8 grayscale array.
+
+    Color type 0 decodes directly; color type 2 (RGB) is luma-folded to
+    grayscale (the reference reads OCR inputs grayscale). Interlaced,
+    paletted, and 16-bit streams are rejected explicitly.
+    """
+    if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("not a PNG stream (bad signature)")
+    width = height = None
+    color_type = -1
+    idat = bytearray()
+    for tag, payload in _iter_chunks(data):
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth: {depth}")
+            if color_type not in (0, 2):
+                raise ValueError(f"unsupported PNG color type: {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += payload
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+    if width is None:
+        raise ValueError("PNG stream missing IHDR")
+    bpp = 1 if color_type == 0 else 3
+    raw = zlib.decompress(bytes(idat))
+    samples = _defilter(raw, height, width, bpp)
+    if color_type == 0:
+        return samples
+    rgb = samples.reshape(height, width, 3).astype(np.uint32)
+    luma = (rgb[..., 0] * _LUMA[0] + rgb[..., 1] * _LUMA[1]
+            + rgb[..., 2] * _LUMA[2] + 500) // 1000
+    return luma.astype(np.uint8)
+
+
+def blob_to_array(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Canonical blob payload -> pixel array (the reference's
+    every-input-through-PNG-decode step, cli.py:100-112).
+
+    Signature-sniffed: PNG payloads decode through the codec (metadata
+    width/height are verified against the stream — they remain the
+    scan-time pruning columns); anything else is the raw fast format.
+    """
+    payload = bytes(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        img = decode_png(payload)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"PNG dims {img.shape} != metadata ({height}, {width})"
+            )
+        return img
+    return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)

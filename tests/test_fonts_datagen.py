@@ -55,9 +55,9 @@ def test_generator_oracles_consistent():
                 assert strip_boilerplate(s["text"]) == o["text"]
             else:
                 r = blobs[s["media_ref"]]
-                img = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(
-                    r["height"], r["width"]
-                )
+                from ocr_spark.png_codec import blob_to_array
+
+                img = blob_to_array(r["pixels"], r["height"], r["width"])
                 assert decode_bitmap(img) == o["text"]
         doc_text = "\n".join(o["text"] for o in e["out_spans"])
         assert extract_voucher_codes(doc_text) == e["codes"]

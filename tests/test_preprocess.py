@@ -153,9 +153,10 @@ def test_crop_blob_variants_operator(spark):
     n_modes = len(CROP_MODES) + len(QUARTER_MODES)
     assert len(crops) == len(pdf) * n_modes
     by_ref = {(r["crop"], r["media_ref"]): r for r in crops}
+    from ocr_spark.png_codec import blob_to_array
+
     src = pdf.iloc[0]
-    img = np.frombuffer(src["pixels"], dtype=np.uint8).reshape(
-        src["height"], src["width"])
+    img = blob_to_array(src["pixels"], src["height"], src["width"])
     top = by_ref[("top_half", src["media_ref"])]
     got = np.frombuffer(top["pixels"], dtype=np.uint8).reshape(
         top["height"], top["width"])
