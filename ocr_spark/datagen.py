@@ -180,12 +180,14 @@ def _make_blob(bi: int, seed: int) -> dict:
     Stored variants mirror the reference's preprocessing surface
     (ocr_spark/preprocess.py docstring): salt speckles (median-denoise
     analog), nearest-neighbor upscale (optimizeForOCR scale), 90-degree
-    rotations, and framed row-shear warps (dewarp analog). Speckle and
-    upscale compose with rotation; warp composes with rotation only (the
-    document frame must stay the outermost contour). The recognizer must
-    invert every variant exactly — ground_text is the golden.
+    rotations, framed row-shear warps (dewarp analog), and framed
+    continuous-angle three-shear rotations (deskew analog). Speckle and
+    upscale compose with rotation; warp and skew are exclusive with each
+    other (one outermost document frame) but compose with rot90. The
+    recognizer must invert every variant exactly — ground_text is the
+    golden.
     """
-    from .preprocess import add_speckles, upscale, warp_image
+    from .preprocess import add_speckles, rotate_small, upscale, warp_image
 
     rng = random.Random(_item_seed(seed, 0, bi))
     ref = f"img-{bi:08d}"
@@ -204,6 +206,10 @@ def _make_blob(bi: int, seed: int) -> dict:
         img = render_text(gt, ink=ink)
         tags = []
         warped = rng.random() < 0.10
+        # continuous-angle skew (three-shear rotation, preprocess.py
+        # rotate_small): exclusive with warp (one outermost document
+        # frame), composes with speckle/upscale/rot90
+        skewed = not warped and rng.random() < 0.08
         if not warped and rng.random() < 0.10:
             n = max(4, img.size // 150)
             img = add_speckles(img, rng, n, ink=ink)
@@ -223,6 +229,13 @@ def _make_blob(bi: int, seed: int) -> dict:
             slope_num = rng.choice([-8, -5, -3, 3, 5, 8])
             img = warp_image(img, slope_num, slope_den, ink=ink)
             tags.append("warped")
+        elif skewed:
+            # framed + rotated by a continuous small angle (reference
+            # deskew fixtures, image_utils.py:268-306); recognizer must
+            # detect the angle and invert the three-shear exactly
+            a = rng.choice([-8, -6, -5, -4, -3, -2, 2, 3, 4, 5, 6, 8])
+            img = rotate_small(img, a, ink=ink)
+            tags.append("skewed")
         variant = "+".join(tags) if tags else "plain"
     # fmt=7: half the pool ships PNG-encoded (the reference canonicalizes
     # every input through PNG decode, cli.py:100-112); the rest stays the
@@ -410,7 +423,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=7 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=8 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

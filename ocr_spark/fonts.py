@@ -146,8 +146,10 @@ def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
     integer upscales, then de-rotate; cell-level denoise happens inside
     classification (speckle-budget blank rule).
     """
-    from .preprocess import SPECKLE_INK_MAX, try_collapse_upscale, try_dewarp
+    from .preprocess import (SPECKLE_INK_MAX, try_collapse_upscale,
+                             try_derotate, try_dewarp)
 
+    img = try_derotate(img, threshold)
     img = try_dewarp(img, threshold)
     img = try_collapse_upscale(img)
     k = detect_rotation(img, threshold)

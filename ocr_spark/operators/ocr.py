@@ -67,11 +67,14 @@ class _Recognizer:
 
     @staticmethod
     def preprocess(img: np.ndarray) -> np.ndarray:
-        """Dewarp-then-descale chain (reference order: dewarp before
-        optimizeForOCR, cli.py:148-157; both gated, identity on plain
-        renders — see preprocess.py)."""
-        from ..preprocess import try_collapse_upscale, try_dewarp
+        """Derotate-dewarp-descale chain (reference order: deskew by the
+        detected continuous angle, then dewarp, then optimizeForOCR —
+        focus_pytesseract.py:41-48, cli.py:148-157; every step gated,
+        identity on plain renders — see preprocess.py)."""
+        from ..preprocess import (try_collapse_upscale, try_derotate,
+                                  try_dewarp)
 
+        img = try_derotate(img, OCR_THRESHOLD)
         img = try_dewarp(img, OCR_THRESHOLD)
         return try_collapse_upscale(img)
 

@@ -62,24 +62,59 @@ ROTATION_ACCEPT_SCORE = 1.0
 # warp (datagen side) / dewarp (recognizer side)
 # --------------------------------------------------------------------------
 
+def frame_image(img: np.ndarray, ink: int = 255) -> np.ndarray:
+    """Surround the render with a 1-px solid document border plus a blank
+    ring (FRAME_MARGIN) — the contour the reference's dewarp detects."""
+    h, w = img.shape
+    m = FRAME_MARGIN
+    framed = np.zeros((h + 2 * m, w + 2 * m), dtype=np.uint8)
+    framed[m:m + h, m:m + w] = img
+    framed[0, :] = framed[-1, :] = ink
+    framed[:, 0] = framed[:, -1] = ink
+    return framed
+
+
+def _shear_rows(img: np.ndarray, num: int, den: int) -> np.ndarray:
+    """Horizontal integer shear: row y shifts right by (y*num)//den,
+    normalized to non-negative; canvas grows to fit. One vectorized
+    scatter — no per-row Python loop."""
+    h, w = img.shape
+    shifts = (np.arange(h, dtype=np.int64) * num) // den
+    shifts -= shifts.min()
+    out = np.zeros((h, w + int(shifts.max())), dtype=np.uint8)
+    cols = shifts[:, None] + np.arange(w, dtype=np.int64)[None, :]
+    out[np.arange(h)[:, None], cols] = img
+    return out
+
+
+def _unshear_rows(img: np.ndarray, num: int, den: int) -> np.ndarray | None:
+    """Exact inverse of _shear_rows given the same (num, den): the input
+    width of the forward op is recoverable as w_out - max(shift)."""
+    h, w = img.shape
+    shifts = (np.arange(h, dtype=np.int64) * num) // den
+    shifts -= shifts.min()
+    w_in = w - int(shifts.max())
+    if w_in < 1:
+        return None
+    cols = shifts[:, None] + np.arange(w_in, dtype=np.int64)[None, :]
+    return img[np.arange(h)[:, None], cols]
+
+
+def _shear_cols(img: np.ndarray, num: int, den: int) -> np.ndarray:
+    return np.ascontiguousarray(_shear_rows(img.T, num, den).T)
+
+
+def _unshear_cols(img: np.ndarray, num: int, den: int) -> np.ndarray | None:
+    r = _unshear_rows(np.ascontiguousarray(img.T), num, den)
+    return None if r is None else np.ascontiguousarray(r.T)
+
+
 def warp_image(img: np.ndarray, slope_num: int, slope_den: int,
                ink: int = 255) -> np.ndarray:
     """Frame the image with a 1-px document border and apply an integer
     row-shear: row y is shifted right by (y * slope_num) // slope_den
     (normalized to non-negative). Exactly inverted by try_dewarp."""
-    h, w = img.shape
-    m = FRAME_MARGIN
-    fh, fw = h + 2 * m, w + 2 * m
-    framed = np.zeros((fh, fw), dtype=np.uint8)
-    framed[m:m + h, m:m + w] = img
-    framed[0, :] = framed[-1, :] = ink
-    framed[:, 0] = framed[:, -1] = ink
-    shifts = (np.arange(fh, dtype=np.int64) * slope_num) // slope_den
-    shifts -= shifts.min()
-    out = np.zeros((fh, fw + int(shifts.max())), dtype=np.uint8)
-    for y in range(fh):
-        out[y, shifts[y]:shifts[y] + fw] = framed[y]
-    return out
+    return _shear_rows(frame_image(img, ink), slope_num, slope_den)
 
 
 def try_dewarp(img: np.ndarray, threshold: int) -> np.ndarray:
@@ -150,6 +185,133 @@ def detect_skew_degrees(img: np.ndarray, threshold: int = 64) -> float:
     slope = np.polyfit(ys, xs_min.astype(np.float64), 1)[0]
     deg = float(np.degrees(np.arctan(slope)))
     return max(-45.0, min(45.0, deg))
+
+
+# --------------------------------------------------------------------------
+# continuous-angle rotation (datagen side) / derotate (recognizer side)
+# --------------------------------------------------------------------------
+
+# Shear denominator for the three-shear rotation: tan(theta/2) = a / SKEW_DEN.
+# a in [-8, 8] covers roughly -14.3 .. +14.3 degrees — the small-skew band
+# the reference's deskew targets (image_utils.py:268-306 normalizes the
+# minAreaRect angle into this regime before cv2.warpAffine).
+SKEW_DEN = 64
+
+
+def _rot_shears(a: int, den: int = SKEW_DEN) -> tuple[int, int, int, int]:
+    """(x_num, x_den, y_num, y_den) for the three-shear rotation with
+    tan(theta/2) = a/den: x-shear twice by a/den, y-shear once by
+    sin(theta) = 2*a*den / (den^2 + a^2) — all integer rationals."""
+    return a, den, 2 * a * den, den * den + a * a
+
+
+def rotate_small(img: np.ndarray, a: int, ink: int = 255) -> np.ndarray:
+    """Frame the render and rotate it by theta = 2*atan(a/SKEW_DEN) using
+    Paeth's three-shear decomposition (shear-x, shear-y, shear-x), each
+    shear an integer per-row/column shift — the rasterized analog of the
+    reference's continuous-angle corrective rotation
+    (/root/reference/src/ocr/focus_pytesseract.py:41-48,
+    image_utils.py:268-306), built exactly invertible: try_derotate
+    recovers the framed upright image bit-for-bit.
+    """
+    xn, xd, yn, yd = _rot_shears(a)
+    out = _shear_rows(frame_image(img, ink), xn, xd)
+    out = _shear_cols(out, yn, yd)
+    return _shear_rows(out, xn, xd)
+
+
+def _inverse_rotate(img: np.ndarray, a: int) -> np.ndarray | None:
+    """Exact inverse of rotate_small's shear stack for a known `a`; None
+    when the canvas is too small to have been produced by it."""
+    xn, xd, yn, yd = _rot_shears(a)
+    out = _unshear_rows(img, xn, xd)
+    if out is not None:
+        out = _unshear_cols(out, yn, yd)
+    if out is not None:
+        out = _unshear_rows(out, xn, xd)
+    return out
+
+
+def _is_framed_upright(b: np.ndarray) -> bool:
+    """Strict frame signature of an UNSHEARED framed image: solid ink
+    perimeter, plausible dims. Wrong shear inverses misalign the border
+    into the blank ring, so this acts as the exact verification oracle
+    for derotation candidates."""
+    m = FRAME_MARGIN
+    if b.shape[0] < 2 * m + 1 or b.shape[1] < 2 * m + 1:
+        return False
+    return bool(b[0].all() and b[-1].all() and b[:, 0].all()
+                and b[:, -1].all())
+
+
+def try_derotate(img: np.ndarray, threshold: int,
+                 max_a: int = 12) -> np.ndarray:
+    """Detect and exactly invert a rotate_small three-shear rotation;
+    return `img` unchanged when no rotated document frame is found (the
+    reference's deskew no-ops on already-upright inputs).
+
+    Detection estimates sin(theta) from the top-edge ramp of the rotated
+    frame (median per-column gradient of the first-ink profile — robust
+    to the corner columns where the side border dominates), maps it to a
+    candidate integer shear parameter, then verifies candidates in a
+    small window with the EXACT inverse + frame-signature check. The
+    estimate only needs to land within the window; correctness comes
+    from the bit-exact verification, never from the fit.
+    """
+    b = img >= threshold
+    h, w = b.shape
+    if h < 2 * FRAME_MARGIN + 1 or w < 2 * FRAME_MARGIN + 1:
+        return img
+    cols_any = b.any(axis=0)
+    if not cols_any.any():
+        return img
+    x0, x1 = int(cols_any.argmax()), w - 1 - int(cols_any[::-1].argmax())
+    span = x1 - x0 + 1
+    # rotated frames ink (almost) every column of their bounding box (top
+    # border + side edges; the shear staircase can skip a column at a
+    # corner) — plain renders have a blank separator every CHAR_PITCH
+    blank_cols = int((~cols_any[x0:x1 + 1]).sum())
+    if span < 2 * FRAME_MARGIN + 1 or blank_cols > max(2, span // 32):
+        return img
+    # row-shear warps (the other framed family) also ink every bbox
+    # column, but carry the warp signature instead: every row inked at
+    # CONSTANT width. One vectorized check routes them to try_dewarp
+    # without paying the candidate scan below.
+    rows_any = b.any(axis=1)
+    inked_rows = np.flatnonzero(rows_any)
+    if len(inked_rows) and rows_any[inked_rows[0]:inked_rows[-1] + 1].all():
+        band = b[inked_rows[0]:inked_rows[-1] + 1]
+        rx0 = band.argmax(axis=1)
+        rx1 = band.shape[1] - 1 - band[:, ::-1].argmax(axis=1)
+        widths = rx1 - rx0
+        if (widths == widths[0]).all():
+            return img
+    y_top = b[:, x0:x1 + 1].argmax(axis=0)
+    # trim the corner zone where the steep side border owns the profile
+    # (width ~ h*tan(theta/2)); the fit only needs window accuracy —
+    # exact verification below decides
+    lo, hi = span // 8, span - span // 8
+    if hi - lo < 3:
+        lo, hi = 0, span
+    ys = y_top[lo:hi].astype(np.float64)
+    slope = float(np.polyfit(np.arange(len(ys), dtype=np.float64), ys, 1)[0])
+    # clamp, don't bail: tiny frames give wild fits but the full-range
+    # exact scan below still resolves them
+    a_est = max(-max_a, min(max_a, int(round(slope * SKEW_DEN / 2.0))))
+    # window around the estimate first (the common case resolves in 1-2
+    # exact checks), then the full range ordered by distance — narrow/tall
+    # frames can defeat the fit, but never the exact verification; an
+    # "off" parameter whose shift pattern coincides at this canvas size
+    # yields the identical (correct) inverse
+    candidates = sorted(
+        (a for a in range(-max_a, max_a + 1) if a != 0),
+        key=lambda a: abs(a - a_est),
+    )
+    for a in candidates:
+        rect = _inverse_rotate(img, a)
+        if rect is not None and _is_framed_upright(rect >= threshold):
+            return rect
+    return img
 
 
 # --------------------------------------------------------------------------

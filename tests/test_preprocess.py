@@ -19,8 +19,11 @@ from ocr_spark.preprocess import (  # noqa: E402
     add_speckles,
     crop_image,
     crop_region,
+    frame_image,
     quadrant_of,
+    rotate_small,
     try_collapse_upscale,
+    try_derotate,
     try_dewarp,
     upscale,
     warp_image,
@@ -92,6 +95,52 @@ def test_speckle_upscale_rotate_compose():
     for k in (0, 1, 2, 3):
         rot = np.ascontiguousarray(np.rot90(up, k))
         assert decode_bitmap(rot) == text
+
+
+@pytest.mark.parametrize("text", TEXTS)
+@pytest.mark.parametrize("a", [-12, -8, -5, -2, -1, 1, 2, 3, 5, 8, 12])
+def test_skew_derotate_roundtrip(text, a):
+    """Continuous-angle three-shear rotation is detected and inverted
+    bit-exactly (reference deskew, image_utils.py:268-306)."""
+    for ink in (255, 90):
+        img = render_text(text, ink=ink)
+        rot = rotate_small(img, a, ink=ink)
+        assert rot.shape != img.shape
+        back = try_derotate(rot, 64)
+        if back is rot:
+            # degenerate tiny-angle/narrow case: the vertical shear
+            # rounded to zero everywhere, so the "rotation" is a pure
+            # row-shear — routed to try_dewarp, which inverts it
+            assert np.array_equal(try_dewarp(rot, 64), img)
+        else:
+            assert np.array_equal(back, frame_image(img, ink=ink))
+        # full chain: derotate -> dewarp strips the frame -> decode
+        assert decode_bitmap(rot) == text
+
+
+def test_derotate_identity_on_unrotated():
+    for text in TEXTS:
+        img = render_text(text)
+        assert try_derotate(img, 64) is img
+    warped = warp_image(render_text("PASS THROUGH"), 5, 16)
+    assert try_derotate(warped, 64) is warped
+    noise = (np.arange(40 * 40, dtype=np.int64) % 60).astype(
+        np.uint8).reshape(40, 40)
+    assert try_derotate(noise, 64) is noise
+
+
+def test_skew_composes_with_variants():
+    rng = random.Random(5)
+    text = "SKEW MIX 1111 2222 3333 4444"
+    base = render_text(text, ink=200)
+    for img in (
+        add_speckles(base, rng, 10, ink=200),
+        upscale(base, 2),
+        np.ascontiguousarray(np.rot90(base, 1)),
+        np.ascontiguousarray(np.rot90(upscale(base, 3), 2)),
+    ):
+        for a in (-6, 4):
+            assert decode_bitmap(rotate_small(img, a, ink=200)) == text
 
 
 def test_crop_regions_tile_the_image():

@@ -25,9 +25,13 @@ from ocr_spark.functions.voucher_core import (  # noqa: E402
     extract_voucher_codes,
 )
 from ocr_spark.preprocess import (  # noqa: E402
+    SKEW_DEN,
     add_speckles,
     detect_skew_degrees,
+    frame_image,
+    rotate_small,
     try_collapse_upscale,
+    try_derotate,
     try_dewarp,
     upscale,
     warp_image,
@@ -77,6 +81,27 @@ def test_warp_dewarp_roundtrip(text, slope_num, slope_den):
         math.atan(slope_num / slope_den))))
     tol = math.degrees(math.atan(2.0 / warped.shape[0])) + 1.0
     assert abs(deg - want) < tol, (deg, want, tol)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_TEXT, st.integers(-12, 12).filter(lambda a: a != 0),
+       st.integers(0, 3))
+def test_skew_derotate_roundtrip(text, a, k):
+    """Arbitrary planted continuous angles (tan(theta/2) = a/SKEW_DEN)
+    round-trip bit-exactly through detect + three-shear inverse, alone
+    and composed with right-angle rotation."""
+    img = np.ascontiguousarray(np.rot90(render_text(text), k))
+    rot = rotate_small(img, a)
+    back = try_derotate(rot, 64)
+    if back is rot:
+        # vertical shear rounded to zero (narrow image / tiny angle):
+        # pure row-shear, inverted by try_dewarp instead
+        assert np.array_equal(try_dewarp(rot, 64), img)
+    else:
+        assert np.array_equal(back, frame_image(img))
+        # detected continuous angle on the derotated frame is upright
+        assert abs(detect_skew_degrees(back, 64)) < 1.5
+    assert decode_bitmap(rot) == _expected(text)
 
 
 @settings(max_examples=30, deadline=None)
@@ -145,17 +170,21 @@ def test_voucher_known_cases():
     assert extract_voucher_codes(t) == ["1111222233334444"]
 
 
-@settings(max_examples=40, deadline=None)
-@given(_TEXT, st.integers(0, 3), st.booleans(),
-       st.randoms(use_true_random=False))
-def test_recognizer_matches_pure_oracle(text, k, warp, rng):
+@settings(max_examples=50, deadline=None)
+@given(_TEXT, st.integers(0, 3),
+       st.sampled_from(["warp", "speckle", "skew"]),
+       st.randoms(use_true_random=False),
+       st.integers(-8, 8).filter(lambda a: a != 0))
+def test_recognizer_matches_pure_oracle(text, k, variant, rng, a):
     """The batch recognizer (operators/ocr._Recognizer) and the pure-numpy
     oracle (fonts.decode_bitmap) must decode every variant identically."""
     from ocr_spark.operators.ocr import _Recognizer
 
     img = render_text(text)
-    if warp:
+    if variant == "warp":
         img = warp_image(np.ascontiguousarray(np.rot90(img, k)), 5, 16)
+    elif variant == "skew":
+        img = rotate_small(np.ascontiguousarray(np.rot90(img, k)), a)
     else:
         img = add_speckles(img, rng, 6)
         img = np.ascontiguousarray(np.rot90(img, k))
