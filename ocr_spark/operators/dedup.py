@@ -141,6 +141,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.9,
+    long_band_keys: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs (the 100 TB path).
 
@@ -148,6 +149,14 @@ def minhash_lsh_candidates(
     num_hashes/bands rows; docs sharing any band-hash become candidates;
     candidates are scored by estimated Jaccard (fraction of matching
     minhashes) and filtered at `threshold`.
+
+    long_band_keys=True folds (band, band_hash) into one xxhash64 long —
+    8-byte fixed-width join key instead of the ~40-byte string, the
+    cluster-scale shuffle layout. Off by default because the DuckDB
+    oracle cannot recompute xxhash64; candidate SETS are identical either
+    way (the long key is injective per band up to hash collisions, and a
+    collision only adds a candidate pair that the est_jaccard filter then
+    scores honestly).
 
     Returns (id_a, id_b, est_jaccard).
     """
@@ -179,6 +188,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     ).select("id", "signature", "band", "band_hash")
+    if long_band_keys:
+        banded = banded.select(
+            "id", "signature", "band",
+            F.xxhash64("band", "band_hash").alias("band_hash"),
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -73,6 +73,23 @@ def test_minhash_lsh_vs_exact_jaccard(docs):
         assert abs(approx[p] - exact[p]) < 0.25, (p, approx[p], exact[p])
 
 
+def test_minhash_lsh_long_band_keys_same_pairs(docs):
+    """The cluster-scale 8-byte xxhash64 band key must produce the same
+    pair set as the oracle-recomputable string key, and the banded join
+    must carry a bigint key in the plan."""
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.7)
+    string_mode = minhash_lsh_candidates(docs, "doc_id", "text", **kw)
+    long_mode = minhash_lsh_candidates(
+        docs, "doc_id", "text", long_band_keys=True, **kw
+    )
+    got_s = {(r["id_a"], r["id_b"], r["est_jaccard"])
+             for r in string_mode.collect()}
+    got_l = {(r["id_a"], r["id_b"], r["est_jaccard"])
+             for r in long_mode.collect()}
+    assert got_s == got_l and got_s
+    assert "xxhash64" in long_mode._jdf.queryExecution().analyzed().toString()
+
+
 def test_simhash_finds_exact_and_near_duplicates(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
