@@ -180,12 +180,13 @@ def _make_blob(bi: int, seed: int) -> dict:
     Stored variants mirror the reference's preprocessing surface
     (ocr_spark/preprocess.py docstring): salt speckles (median-denoise
     analog), nearest-neighbor upscale (optimizeForOCR scale), 90-degree
-    rotations, framed row-shear warps (dewarp analog), and framed
-    continuous-angle three-shear rotations (deskew analog). Speckle and
-    upscale compose with rotation; warp and skew are exclusive with each
-    other (one outermost document frame) but compose with rot90. The
-    recognizer must invert every variant exactly — ground_text is the
-    golden.
+    rotations, framed row-shear warps (dewarp analog), framed
+    continuous-angle three-shear rotations (deskew analog), and faint
+    sub-threshold ink (re-OCR cascade analog). Speckle and upscale
+    compose with rotation; warp and skew are exclusive with each other
+    (one outermost document frame) but compose with rot90; faint is an
+    ink level and composes with everything. The recognizer must invert
+    every variant exactly — ground_text is the golden.
     """
     from .preprocess import add_speckles, rotate_small, upscale, warp_image
 
@@ -203,8 +204,14 @@ def _make_blob(bi: int, seed: int) -> dict:
         codes = [_code(rng) for _ in range(n_codes)]
         gt = make_ground_text(rng, codes)
         ink = rng.choice([255, 200, 160, 90])  # incl. low-contrast
-        img = render_text(gt, ink=ink)
         tags = []
+        if rng.random() < 0.06:
+            # faint ink below the primary binarize threshold: only the
+            # re-OCR cascade (grey/binary retry, reference
+            # tesseract.js:136-183) recovers these
+            ink = rng.choice([32, 40, 56])
+            tags.append("faint")
+        img = render_text(gt, ink=ink)
         warped = rng.random() < 0.10
         # continuous-angle skew (three-shear rotation, preprocess.py
         # rotate_small): exclusive with warp (one outermost document
@@ -423,7 +430,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=8 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=9 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

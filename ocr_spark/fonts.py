@@ -135,17 +135,9 @@ def detect_rotation(img: np.ndarray, threshold: int = 64) -> int:
     return best_k
 
 
-def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
-    """Inverse of render_text: binarize -> segment lines -> classify chars.
-
-    Pure-numpy reference decoder used by tests as the oracle; the Spark-side
-    recognizer in operators/ocr.py implements the same algorithm batched.
-
-    Preprocessing chain (mirrors the reference's dewarp + optimizeForOCR
-    order, see preprocess.py): rectify framed row-shear warps, collapse
-    integer upscales, then de-rotate; cell-level denoise happens inside
-    classification (speckle-budget blank rule).
-    """
+def _decode_pass(img: np.ndarray, threshold: int) -> tuple[str, float]:
+    """One preprocess+binarize+classify pass; returns (text, mean
+    min-Hamming over inked cells) — score inf when nothing inks."""
     from .preprocess import (SPECKLE_INK_MAX, try_collapse_upscale,
                              try_derotate, try_dewarp)
 
@@ -157,11 +149,13 @@ def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
         img = np.rot90(img, k)
     binary = (img >= threshold).astype(np.uint8)
     if binary.size == 0 or binary.max() == 0:
-        return ""
+        return "", float("inf")
     h, w = binary.shape
     n_lines = (h + LINE_PITCH - 1) // LINE_PITCH
     n_cells = (w + CHAR_PITCH - 1) // CHAR_PITCH
     lines: list[str] = []
+    dist_total = 0
+    inked = 0
     for li in range(n_lines):
         band = binary[li * LINE_PITCH : li * LINE_PITCH + GLYPH_H]
         chars: list[str] = []
@@ -175,8 +169,37 @@ def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
                 continue
             flat = cell.reshape(-1)
             dists = np.count_nonzero(TEMPLATE_MATRIX != flat, axis=1)
+            dist_total += int(dists.min())
+            inked += 1
             chars.append(TEMPLATE_CHARS[int(np.argmin(dists))])
         lines.append("".join(chars).rstrip())
     while lines and not lines[-1]:
         lines.pop()
-    return "\n".join(lines)
+    score = dist_total / inked if inked else float("inf")
+    return "\n".join(lines), score
+
+
+def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
+    """Inverse of render_text: binarize -> segment lines -> classify chars.
+
+    Pure-numpy reference decoder used by tests as the oracle; the Spark-side
+    recognizer in operators/ocr.py implements the same algorithm batched.
+
+    Preprocessing chain (mirrors the reference's dewarp + optimizeForOCR
+    order, see preprocess.py): rectify framed row-shear warps, collapse
+    integer upscales, then de-rotate; cell-level denoise happens inside
+    classification (speckle-budget blank rule). When the primary
+    binarization sees nothing, the faint re-OCR cascade retries at
+    FAINT_THRESHOLD and accepts only a confident result (reference
+    grey/color/binary retry, src/ocr/tesseract.js:136-183).
+    """
+    from .preprocess import FAINT_ACCEPT_SCORE, FAINT_THRESHOLD
+
+    text, _ = _decode_pass(img, threshold)
+    if text:
+        return text
+    if threshold > FAINT_THRESHOLD:
+        text, score = _decode_pass(img, FAINT_THRESHOLD)
+        if text and score <= FAINT_ACCEPT_SCORE:
+            return text
+    return ""

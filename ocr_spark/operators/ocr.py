@@ -66,7 +66,8 @@ class _Recognizer:
         return cls._instance
 
     @staticmethod
-    def preprocess(img: np.ndarray) -> np.ndarray:
+    def preprocess(img: np.ndarray,
+                   threshold: int = OCR_THRESHOLD) -> np.ndarray:
         """Derotate-dewarp-descale chain (reference order: deskew by the
         detected continuous angle, then dewarp, then optimizeForOCR —
         focus_pytesseract.py:41-48, cli.py:148-157; every step gated,
@@ -74,8 +75,8 @@ class _Recognizer:
         from ..preprocess import (try_collapse_upscale, try_derotate,
                                   try_dewarp)
 
-        img = try_derotate(img, OCR_THRESHOLD)
-        img = try_dewarp(img, OCR_THRESHOLD)
+        img = try_derotate(img, threshold)
+        img = try_dewarp(img, threshold)
         return try_collapse_upscale(img)
 
     def _classify_full(self, binary: np.ndarray):
@@ -140,17 +141,42 @@ class _Recognizer:
             lines.pop()
         return lines
 
+    def _grid_pass(self, img0: np.ndarray, threshold: int):
+        """One full preprocess+binarize+classify pass at `threshold`;
+        None when the binarization sees nothing."""
+        img = self.preprocess(img0, threshold)
+        binary = (img >= threshold).astype(np.uint8)
+        if binary.size == 0 or not binary.any():
+            return None
+        grid, score, mins, k = self._best_grid(binary)
+        return binary, grid, score, mins, k
+
+    def _cascade(self, img0: np.ndarray):
+        """Primary pass at OCR_THRESHOLD; when it sees nothing, the
+        reference's re-OCR cascade (grey/color/binary retries,
+        src/ocr/tesseract.js:136-183) rebinarizes at FAINT_THRESHOLD and
+        accepts only a confident result — faint-ink documents decode,
+        sub-threshold noise stays empty."""
+        from ..preprocess import FAINT_ACCEPT_SCORE, FAINT_THRESHOLD
+
+        out = self._grid_pass(img0, OCR_THRESHOLD)
+        if out is not None and self._grid_lines(out[1]):
+            return out
+        retry = self._grid_pass(img0, FAINT_THRESHOLD)
+        if (retry is not None and retry[2] <= FAINT_ACCEPT_SCORE
+                and self._grid_lines(retry[1])):
+            return retry
+        return out
+
     def recognize(self, pixels: bytes, height: int, width: int) -> str:
         # canonical decode first (PNG payloads sniffed, raw passthrough) —
         # the reference's every-input-through-PNG step (cli.py:100-112)
         from ..png_codec import blob_to_array
 
-        img = blob_to_array(pixels, height, width)
-        img = self.preprocess(img)
-        binary = (img >= OCR_THRESHOLD).astype(np.uint8)
-        if binary.size == 0 or not binary.any():
+        out = self._cascade(blob_to_array(pixels, height, width))
+        if out is None:
             return ""
-        grid, _, _, _ = self._best_grid(binary)
+        _, grid, _, _, _ = out
         return "\n".join(self._grid_lines(grid))
 
 
@@ -209,15 +235,14 @@ def _line_spans(recognizer: "_Recognizer", pixels: bytes, height: int,
 
     # bbox/confidence math happens in the RECTIFIED UPRIGHT frame
     # (reference order: dewarp -> optimize -> corrective rotate -> OCR,
-    # cli.py:148-157, focus_pytesseract.py:41-48)
+    # cli.py:148-157, focus_pytesseract.py:41-48); same faint re-OCR
+    # cascade as recognize()
     from ..png_codec import blob_to_array
 
-    img = blob_to_array(pixels, height, width)
-    img = recognizer.preprocess(img)
-    binary = (img >= OCR_THRESHOLD).astype(np.uint8)
-    if binary.size == 0 or not binary.any():
+    out = recognizer._cascade(blob_to_array(pixels, height, width))
+    if out is None:
         return []
-    grid, _, mins, k = recognizer._best_grid(binary)
+    binary, grid, _, mins, k = out
     height, width = np.rot90(binary, k).shape
     out = []
     for i, line in enumerate(recognizer._grid_lines(grid)):

@@ -56,6 +56,14 @@ UPSCALE_FACTORS = (3, 2)  # detection order (largest first)
 # templates with min pairwise distance 7). Shared by the recognizer and
 # the pure-numpy oracle so both decode identically.
 ROTATION_ACCEPT_SCORE = 1.0
+# Re-OCR cascade (reference grey/color/binary retry, src/ocr/
+# tesseract.js:136-183): when the primary binarize (threshold 64) sees
+# nothing, rebinarize at FAINT_THRESHOLD and accept the result only when
+# its mean min-Hamming clears FAINT_ACCEPT_SCORE — faint-ink renders
+# (ink 32..59) decode perfectly, sub-threshold noise blobs score far
+# above the bar and stay "".
+FAINT_THRESHOLD = 24
+FAINT_ACCEPT_SCORE = 2.0
 
 
 # --------------------------------------------------------------------------

@@ -143,6 +143,37 @@ def test_skew_composes_with_variants():
             assert decode_bitmap(rotate_small(img, a, ink=200)) == text
 
 
+def test_faint_cascade_decodes_subthreshold_ink():
+    """R6 analog: ink below the primary binarize threshold is recovered
+    by the confidence-gated faint re-OCR pass (reference
+    tesseract.js:136-183), composed with every other variant."""
+    rng = random.Random(13)
+    text = "FAINT 9876 5432 1098 7654\nLINE TWO"
+    for ink in (32, 40, 56):
+        img = render_text(text, ink=ink)
+        assert decode_bitmap(img) == text
+        for v in (
+            warp_image(img, 5, 16, ink=ink),
+            rotate_small(img, -4, ink=ink),
+            upscale(img, 2),
+            np.ascontiguousarray(np.rot90(img, 3)),
+            add_speckles(img, rng, 8, ink=ink),
+        ):
+            assert decode_bitmap(v) == text
+
+
+def test_faint_cascade_rejects_noise():
+    """Sub-threshold noise blobs must NOT be resurrected by the faint
+    pass — the confidence bar keeps them empty."""
+    rng = random.Random(21)
+    for _ in range(10):
+        h, w = rng.randint(16, 48), rng.randint(16, 48)
+        noise = np.array(
+            [rng.randrange(0, 60) for _ in range(h * w)], dtype=np.uint8
+        ).reshape(h, w)
+        assert decode_bitmap(noise) == ""
+
+
 def test_crop_regions_tile_the_image():
     w, h = 31, 17
     for pair in (("top_half", "bottom_half"), ("left_half", "right_half")):

@@ -170,9 +170,9 @@ def test_voucher_known_cases():
     assert extract_voucher_codes(t) == ["1111222233334444"]
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(_TEXT, st.integers(0, 3),
-       st.sampled_from(["warp", "speckle", "skew"]),
+       st.sampled_from(["warp", "speckle", "skew", "faint"]),
        st.randoms(use_true_random=False),
        st.integers(-8, 8).filter(lambda a: a != 0))
 def test_recognizer_matches_pure_oracle(text, k, variant, rng, a):
@@ -180,11 +180,15 @@ def test_recognizer_matches_pure_oracle(text, k, variant, rng, a):
     oracle (fonts.decode_bitmap) must decode every variant identically."""
     from ocr_spark.operators.ocr import _Recognizer
 
-    img = render_text(text)
+    ink = 40 if variant == "faint" else 255
+    img = render_text(text, ink=ink)
     if variant == "warp":
         img = warp_image(np.ascontiguousarray(np.rot90(img, k)), 5, 16)
     elif variant == "skew":
         img = rotate_small(np.ascontiguousarray(np.rot90(img, k)), a)
+    elif variant == "faint":
+        img = np.ascontiguousarray(np.rot90(
+            add_speckles(img, rng, 4, ink=ink), k))
     else:
         img = add_speckles(img, rng, 6)
         img = np.ascontiguousarray(np.rot90(img, k))
