@@ -7,11 +7,11 @@ a typed metadata struct — the only schema that survives 100 TB (pixels /
 samples never shuffle; metadata prunes). Image ops are REAL over this
 repo's raw-bitmap domain (the same pixels the OCR path reads). Audio ops
 are REAL too: stdlib ``wave`` decode + ``np.fft`` windowed band energies
-(no codec library required). Only per-frame VIDEO pixel decode still
-needs a codec library absent from this sandbox, so that one step is a
-clearly-marked deterministic stub — the Spark-side plumbing (schemas,
-mapInPandas signatures, per-batch shapes, explode geometry) is real and
-tested, and malformed assets are skipped rather than failing the task.
+(no codec library required). Video ops are REAL as well: payloads use an
+indexed motion-PNG container (make_mpng) and frame sampling
+random-access-decodes exactly the sampled frames through the
+from-scratch png_codec; malformed assets of any kind are skipped rather
+than failing the task.
 
 Reference parity: the reference canonicalizes every input through PNG
 decode (/root/reference/src/ocr/cli.py:100-112, incl. AVIF via imageio)
@@ -22,7 +22,6 @@ sampling mirrors its live-camera path, one frame every 200 ms
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -89,38 +88,78 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# video: frame sampling (decode stubbed, plumbing real)
+# video: frame sampling over the indexed motion-PNG container
 # --------------------------------------------------------------------------
 
 FRAME_SCHEMA = T.StructType([
     T.StructField("asset_id", T.StringType()),
     T.StructField("frame_no", T.IntegerType()),
     T.StructField("ts_ms", T.IntegerType()),
-    T.StructField("frame", T.BinaryType()),
+    T.StructField("frame", T.BinaryType()),      # raw grayscale bitmap
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
 ])
 
 
-def _decode_frame_stub(payload: bytes, frame_no: int) -> bytes:
-    """STUB: no video codec ships in this sandbox. Deterministic fake —
-    16 md5-derived bytes per frame — so tests can assert exact values;
-    swap for `av`/ffmpeg frame extraction in production."""
-    return hashlib.md5(payload + frame_no.to_bytes(4, "big")).digest()
+MPNG_MAGIC = b"MPNG1"
+
+
+def make_mpng(frames: list[np.ndarray]) -> bytes:
+    """Indexed motion-PNG container — the engine's video payload format:
+    magic, u32 frame count, u32 per-frame byte-length table, then each
+    frame as a standalone PNG (png_codec). The index makes single-frame
+    decode O(frame bytes), not O(video bytes) — the property frame
+    sampling needs at scale (decode k sampled frames, never the whole
+    asset)."""
+    import struct
+
+    from ..png_codec import encode_png
+
+    blobs = [encode_png(f) for f in frames]
+    head = MPNG_MAGIC + struct.pack(">I", len(blobs)) + b"".join(
+        struct.pack(">I", len(b)) for b in blobs
+    )
+    return head + b"".join(blobs)
+
+
+def _decode_frame(payload: bytes,
+                  frame_no: int) -> tuple[bytes, int, int] | None:
+    """Random-access decode of ONE MPNG frame -> (raw grayscale bytes,
+    width, height); None on foreign/corrupt payloads or out-of-range
+    frame numbers (malformed assets are skipped, never fatal)."""
+    import struct
+
+    from ..png_codec import decode_png
+
+    if not payload.startswith(MPNG_MAGIC):
+        return None
+    try:
+        n = struct.unpack_from(">I", payload, len(MPNG_MAGIC))[0]
+        if not 0 <= frame_no < n:
+            return None
+        table_at = len(MPNG_MAGIC) + 4
+        lens = struct.unpack_from(f">{n}I", payload, table_at)
+        off = table_at + 4 * n + sum(lens[:frame_no])
+        img = decode_png(payload[off:off + lens[frame_no]])
+        return img.tobytes(), img.shape[1], img.shape[0]
+    except Exception:
+        return None
 
 
 def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
     """One frame every `every_ms` of video (the reference's live-camera
-    cadence, live.js:81). The frame-count/timestamp geometry comes from
-    REAL metadata; only the per-frame pixel decode is the documented
-    deterministic stub."""
+    cadence, live.js:81). Geometry comes from the metadata; the sampled
+    frames are REALLY decoded from the indexed motion-PNG payload
+    (make_mpng) — only the sampled frames' bytes are inflated."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, px, m in zip(pdf["asset_id"], pdf["payload"],
                                   pdf["meta"]):
-                # Malformed assets (null meta, zero frames/duration) are
-                # skipped, not fatal: one bad row must not kill a task
-                # holding millions of good rows.
+                # Malformed assets (null meta, zero frames/duration,
+                # undecodable payload) are skipped, not fatal: one bad
+                # row must not kill a task holding millions of good rows.
                 if m is None:
                     continue
                 dur = int(m["duration_ms"] or 0)
@@ -129,10 +168,14 @@ def sample_frames(media: DataFrame, every_ms: int = 200) -> DataFrame:
                     continue
                 for ts in range(0, dur, every_ms):
                     frame_no = min(n_frames - 1, (ts * n_frames) // dur)
-                    rows.append((aid, frame_no, ts,
-                                 _decode_frame_stub(px, frame_no)))
+                    dec = _decode_frame(px, frame_no)
+                    if dec is None:
+                        continue
+                    frame, w, h = dec
+                    rows.append((aid, frame_no, ts, frame, w, h))
             yield pd.DataFrame(
-                rows, columns=["asset_id", "frame_no", "ts_ms", "frame"])
+                rows, columns=["asset_id", "frame_no", "ts_ms", "frame",
+                               "width", "height"])
 
     vids = media.filter(F.col("kind") == "video").select(
         "asset_id", "payload", "meta")

@@ -1,10 +1,9 @@
 """Multimodal binary-column plumbing: real image resize, REAL audio
-features (stdlib WAV decode + FFT band energies), stubbed (but
-schema/batch-shape real) video frame sampling."""
+features (stdlib WAV decode + FFT band energies), REAL video frame
+sampling (indexed motion-PNG random-access decode)."""
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -18,6 +17,7 @@ from ocr_spark.operators.multimodal import (  # noqa: E402
     MEDIA_SCHEMA,
     N_MEL,
     audio_features,
+    make_mpng,
     make_wav,
     resize_images,
     sample_frames,
@@ -28,6 +28,15 @@ from ocr_spark.operators.multimodal import (  # noqa: E402
 # 60 -> band 2. Known geometry for the band-energy assertions below.
 WAV_1S = make_wav([440.0, 2400.0], duration_ms=1000, sample_rate=16000)
 
+# deterministic per-frame gradient patterns so frame decode is assertable
+VID1_FRAMES = [
+    ((np.arange(8 * 10, dtype=np.int64).reshape(8, 10) * (i + 3)) % 256)
+    .astype(np.uint8)
+    for i in range(25)
+]
+VID2_FRAMES = [np.full((4, 6), 40 * (i + 1), dtype=np.uint8)
+               for i in range(3)]
+
 
 @pytest.fixture(scope="module")
 def media(spark):
@@ -37,13 +46,15 @@ def media(spark):
          (img.shape[1], img.shape[0], None, None, None)),
         ("aud-1", "audio", WAV_1S, (None, None, 16000, 1000, None)),
         ("aud-bad", "audio", b"\x01\x02" * 512, (None, None, 16000, 1000, None)),
-        ("vid-1", "video", b"\x03\x04" * 1024, (None, None, None, 1000, 25)),
-        ("vid-2", "video", b"\x05\x06" * 64, (None, None, None, 90, 3)),
-        # malformed video rows: zero frames / zero duration / null meta —
-        # must be skipped, not fail the task (ADVICE round 2)
+        ("vid-1", "video", make_mpng(VID1_FRAMES),
+         (None, None, None, 1000, 25)),
+        ("vid-2", "video", make_mpng(VID2_FRAMES), (None, None, None, 90, 3)),
+        # malformed video rows: zero frames / zero duration / null meta /
+        # undecodable payload — must be skipped, not fail the task
         ("vid-0f", "video", b"\x07" * 32, (None, None, None, 500, 0)),
         ("vid-0d", "video", b"\x08" * 32, (None, None, None, 0, 10)),
         ("vid-nm", "video", b"\x09" * 32, None),
+        ("vid-junk", "video", b"\x03\x04" * 64, (None, None, None, 400, 4)),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA), img
 
@@ -60,24 +71,29 @@ def test_resize_images_real_nearest_neighbor(media):
     assert np.array_equal(got, img[ys[:, None], xs[None, :]])
 
 
-def test_sample_frames_geometry_and_stub(media):
+def test_sample_frames_geometry_and_real_decode(media):
     df, _ = media
     rows = sample_frames(df, every_ms=200).collect()
     by_asset = {}
     for r in rows:
         by_asset.setdefault(r["asset_id"], []).append(r)
-    # 1000 ms at 200 ms cadence -> 5 frames; 90 ms -> 1 frame; the three
-    # malformed assets are skipped entirely instead of raising
+    # 1000 ms at 200 ms cadence -> 5 frames; 90 ms -> 1 frame; the four
+    # malformed assets (incl. the non-MPNG payload) are skipped entirely
     assert set(by_asset) == {"vid-1", "vid-2"}
     assert len(by_asset["vid-1"]) == 5
     assert len(by_asset["vid-2"]) == 1
     v1 = sorted(by_asset["vid-1"], key=lambda r: r["ts_ms"])
     assert [r["ts_ms"] for r in v1] == [0, 200, 400, 600, 800]
     assert [r["frame_no"] for r in v1] == [0, 5, 10, 15, 20]
-    # the stub decode is deterministic and documented
-    payload = b"\x03\x04" * 1024
-    want = hashlib.md5(payload + (10).to_bytes(4, "big")).digest()
-    assert bytes(v1[2]["frame"]) == want
+    # REAL random-access decode: sampled frames equal the planted arrays
+    for r in v1:
+        got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(
+            r["height"], r["width"])
+        assert np.array_equal(got, VID1_FRAMES[r["frame_no"]])
+    v2 = by_asset["vid-2"][0]
+    got = np.frombuffer(bytes(v2["frame"]), dtype=np.uint8).reshape(
+        v2["height"], v2["width"])
+    assert np.array_equal(got, VID2_FRAMES[v2["frame_no"]])
 
 
 def test_audio_features_real_fft(media):
