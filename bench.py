@@ -80,6 +80,20 @@ def run_flagship(spark, sf: float, warmup: bool = True,
         # Python UDF worker during warmup, not in the timed region
         par = spark.sparkContext.defaultParallelism * 2
         _force(run_extraction(wdocs.repartition(par), wblobs.repartition(par)))
+        # also warm the pandas-UDF worker pool (mapInPandas spawns its
+        # workers separately from the mapInArrow extraction pool; each
+        # cold worker pays ~3s of fork+imports — a per-executor one-time
+        # cost on a long-lived cluster, same stance as above)
+        from ocr_spark.operators.ocr import (
+            crop_blob_variants,
+            recognize_blob_spans,
+            recognize_blobs,
+        )
+
+        wb = wblobs.repartition(par)
+        _force(recognize_blob_spans(wb))
+        _force(recognize_blobs(crop_blob_variants(
+            wb, modes=("top_half", "bottom_half"))))
 
     docs, blobs, expected = _load(corpus_dir(sf))
     n_docs = docs.count()
