@@ -48,13 +48,19 @@ class _Recognizer:
 
     def __init__(self) -> None:
         # import here so the template build cost is paid once per worker
+        from ..blas_pin import pin_blas_single_thread
         from ..fonts import TEMPLATE_CHARS, TEMPLATE_MATRIX
+
+        pin_blas_single_thread()
 
         self.template_matrix = TEMPLATE_MATRIX.astype(np.uint8)
         # Hamming distance via the binary identity |c != t| = |c| + |t|
-        # - 2*c.t: one small BLAS matmul per image instead of an
-        # O(cells x templates x 35) boolean broadcast
-        self.template_t = TEMPLATE_MATRIX.astype(np.int32).T
+        # - 2*c.t: one small matmul per image instead of an
+        # O(cells x templates x 35) boolean broadcast. float32, because
+        # numpy routes integer matmul through a slow generic loop while
+        # float32 hits BLAS — and every value here is < 2^24, so float32
+        # arithmetic is EXACT (glyph dot products max out at 35)
+        self.template_t = TEMPLATE_MATRIX.astype(np.float32).T
         self.template_sums = TEMPLATE_MATRIX.sum(axis=1).astype(np.int32)
         self.template_chars = np.array(TEMPLATE_CHARS)
         _Recognizer.init_count += 1
@@ -100,8 +106,9 @@ class _Recognizer:
 
         cell_sums = flat.sum(axis=1, dtype=np.int32)
         blank = cell_sums <= SPECKLE_INK_MAX
-        # Hamming distance to every template via one BLAS matmul
-        dots = flat.astype(np.int32) @ self.template_t
+        # Hamming distance to every template via one BLAS matmul (float32
+        # is exact here: all products <= 35 < 2^24)
+        dots = (flat.astype(np.float32) @ self.template_t).astype(np.int32)
         dists = cell_sums[:, None] + self.template_sums[None, :] - 2 * dots
         mins = dists.min(axis=1)
         chars = self.template_chars[np.argmin(dists, axis=1)]

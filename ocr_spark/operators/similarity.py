@@ -79,6 +79,9 @@ def cosine_topk(
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..blas_pin import pin_blas_single_thread
+
+        pin_blas_single_thread()
         qids, qmat = bc.value
         for pdf in batches:
             mat = _matrix(pdf["vec"])
@@ -125,6 +128,9 @@ def embedding_neardup_pairs(
     bc = spark.sparkContext.broadcast((all_ids, all_mat))
 
     def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..blas_pin import pin_blas_single_thread
+
+        pin_blas_single_thread()
         ids_b, mat_b = bc.value
         for pdf in batches:
             mat = _matrix(pdf["vec"])
@@ -225,6 +231,9 @@ def with_ivf_cells(
     bc = spark.sparkContext.broadcast(centroids)
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..blas_pin import pin_blas_single_thread
+
+        pin_blas_single_thread()
         cm = bc.value
         for pdf in batches:
             mat = _matrix(pdf["vec"])
@@ -337,6 +346,9 @@ def with_lsh_buckets(
     bc = spark.sparkContext.broadcast(planes)
 
     def _bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..blas_pin import pin_blas_single_thread
+
+        pin_blas_single_thread()
         pl = bc.value
         weights = (1 << np.arange(pl.shape[0])).astype(np.int64)
         for pdf in batches:

@@ -270,6 +270,13 @@ def try_derotate(img: np.ndarray, threshold: int,
     h, w = b.shape
     if h < 2 * FRAME_MARGIN + 1 or w < 2 * FRAME_MARGIN + 1:
         return img
+    # document frames are SPARSE (1-px border + glyph ink, ~5-15%);
+    # dense ink means noise, not a frame — bail before the candidate
+    # scan (noise blobs otherwise pay the full-range scan every time the
+    # faint cascade retries them at the low threshold). The 2*(h+w)
+    # allowance keeps tiny framed canvases (border-dominated) eligible.
+    if int(b.sum()) > b.size // 3 + 2 * (h + w):
+        return img
     cols_any = b.any(axis=0)
     if not cols_any.any():
         return img

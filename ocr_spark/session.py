@@ -27,6 +27,15 @@ def get_spark(
     count (local mode: no reason for 200 tiny partitions at small SF; at
     cluster scale this would be ~2-3x total cores).
     """
+    # one BLAS thread per Python worker: N workers already saturate the
+    # box; nested OpenBLAS thread pools oversubscribe it and add pool
+    # synchronization jitter to every small matmul (measured 2x on the
+    # recognizer's 500x35 Hamming matmul). Local mode: workers inherit
+    # the JVM env, which inherits this process env — set before launch.
+    # spark-submit path: operators pin at runtime (blas_pin.py).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
