@@ -181,14 +181,19 @@ def _make_blob(bi: int, seed: int) -> dict:
     (ocr_spark/preprocess.py docstring): salt speckles (median-denoise
     analog), nearest-neighbor upscale (optimizeForOCR scale), 90-degree
     rotations, framed row-shear warps (dewarp analog), framed
-    continuous-angle three-shear rotations (deskew analog), and faint
-    sub-threshold ink (re-OCR cascade analog). Speckle and upscale
-    compose with rotation; warp and skew are exclusive with each other
-    (one outermost document frame) but compose with rot90; faint is an
-    ink level and composes with everything. The recognizer must invert
-    every variant exactly — ground_text is the golden.
+    continuous-angle three-shear rotations (deskew analog), faint
+    sub-threshold ink (re-OCR cascade analog), and lit "photographed
+    page" polarity variants (equalize-hist / adaptive-binarize analogs).
+    Speckle and upscale compose with rotation; warp and skew are
+    exclusive with each other (one outermost document frame) but compose
+    with rot90; faint is an ink level and composes with the
+    dark-background family; lit pages are one polarity per page
+    (exclusive with the dark-background degradations) and compose with
+    rot90. The recognizer must invert every variant exactly —
+    ground_text is the golden.
     """
-    from .preprocess import add_speckles, rotate_small, upscale, warp_image
+    from .preprocess import (add_speckles, lit_lowcontrast, lit_shaded,
+                             rotate_small, upscale, warp_image)
 
     rng = random.Random(_item_seed(seed, 0, bi))
     ref = f"img-{bi:08d}"
@@ -212,19 +217,50 @@ def _make_blob(bi: int, seed: int) -> dict:
             ink = rng.choice([32, 40, 56])
             tags.append("faint")
         img = render_text(gt, ink=ink)
-        warped = rng.random() < 0.10
+        # lit "photographed page" polarity variants (dark ink on a light
+        # background — the reference's whole photo domain): flat
+        # low-contrast pages need equalize_hist (focus_impl.py:37), shaded
+        # gradient pages need adaptive_binarize (image_utils.py:153-155).
+        # Exclusive with the dark-background degradations (one polarity
+        # per page); composes with rot90 below.
+        lit = "faint" not in tags and rng.random() < 0.10
+        if lit:
+            base = render_text(gt)  # full-ink canonical render
+            if rng.random() < 0.5:
+                bg = rng.randrange(96, 231)
+                drop = rng.randrange(4, 13)  # < ADAPTIVE_C: equalize-only
+                img = lit_lowcontrast(base, bg, drop)
+                tags.append("lowcontrast")
+            else:
+                gx = rng.choice([-0.3, -0.2, -0.1, 0.1, 0.2, 0.3])
+                gy = rng.choice([-0.3, -0.2, -0.1, 0.1, 0.2, 0.3])
+                h, w = base.shape
+                span = abs(gx) * (w - 1) + abs(gy) * (h - 1)
+                if span > 110:  # keep the ramp inside [124, 244]
+                    gx, gy = gx * 110 / span, gy * 110 / span
+                    span = 110.0
+                lo = 124 + (abs(gx) * (w - 1) if gx < 0 else 0) \
+                    + (abs(gy) * (h - 1) if gy < 0 else 0)
+                b0 = lo + rng.random() * (244 - 124 - span)
+                img = lit_shaded(base, gx, gy, b0)
+                tags.append("shaded")
+            if rng.random() < 0.3:
+                img = np.ascontiguousarray(
+                    np.rot90(img, rng.choice([1, 2, 3])))
+                tags.append("rotated")
+        warped = not lit and rng.random() < 0.10
         # continuous-angle skew (three-shear rotation, preprocess.py
         # rotate_small): exclusive with warp (one outermost document
         # frame), composes with speckle/upscale/rot90
-        skewed = not warped and rng.random() < 0.08
-        if not warped and rng.random() < 0.10:
+        skewed = not warped and not lit and rng.random() < 0.08
+        if not warped and not lit and rng.random() < 0.10:
             n = max(4, img.size // 150)
             img = add_speckles(img, rng, n, ink=ink)
             tags.append("speckled")
-        if not warped and rng.random() < 0.08:
+        if not warped and not lit and rng.random() < 0.08:
             img = upscale(img, rng.choice([2, 3]))
             tags.append("upscaled")
-        if rng.random() < 0.15:
+        if not lit and rng.random() < 0.15:
             # stored rotated (reference rotation fixtures,
             # image_utils.py:238-265); recognizer must de-rotate
             img = np.ascontiguousarray(np.rot90(img, rng.choice([1, 2, 3])))
@@ -430,7 +466,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=9 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=10 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

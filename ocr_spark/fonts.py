@@ -193,8 +193,13 @@ def decode_bitmap(img: np.ndarray, threshold: int = 64) -> str:
     FAINT_THRESHOLD and accepts only a confident result (reference
     grey/color/binary retry, src/ocr/tesseract.js:136-183).
     """
-    from .preprocess import FAINT_ACCEPT_SCORE, FAINT_THRESHOLD
+    from .preprocess import (FAINT_ACCEPT_SCORE, FAINT_THRESHOLD,
+                             normalize_illumination)
 
+    # lit-document polarity first (same router as the Spark recognizer,
+    # operators/ocr.py _cascade): photographed-page variants equalize /
+    # adaptive-binarize into the canonical dark-background domain
+    img = normalize_illumination(img)
     text, _ = _decode_pass(img, threshold)
     if text:
         return text

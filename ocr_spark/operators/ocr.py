@@ -164,8 +164,14 @@ class _Recognizer:
         src/ocr/tesseract.js:136-183) rebinarizes at FAINT_THRESHOLD and
         accepts only a confident result — faint-ink documents decode,
         sub-threshold noise stays empty."""
-        from ..preprocess import FAINT_ACCEPT_SCORE, FAINT_THRESHOLD
+        from ..preprocess import (FAINT_ACCEPT_SCORE, FAINT_THRESHOLD,
+                                  normalize_illumination)
 
+        # lit-document polarity first (reference grayscale+contrast+
+        # threshold chain, focus_impl.py:33-44): equalize / adaptive-
+        # binarize photographed-page variants into the canonical domain;
+        # identity on dark-background images
+        img0 = normalize_illumination(img0)
         out = self._grid_pass(img0, OCR_THRESHOLD)
         if out is not None and self._grid_lines(out[1]):
             return out

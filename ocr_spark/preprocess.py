@@ -38,8 +38,23 @@ the synthetic bitmap font:
     inside a glyph cell only add Hamming distance well under half the
     minimum inter-template distance (7). This is the denoise step of
     optimizeForOCR, restated as a rule the 5x7-cell domain makes exact.
-    Sharpen/contrast/normalize have no behavioral surface in a binary
-    domain beyond the threshold binarize itself (operators/ocr.py).
+  * lit-document contrast chain — the corpus stores "photographed page"
+    polarity variants (dark ink on a light background, like every input
+    the reference OCRs): `lowcontrast` (flat background B, ink B-d with
+    d as small as 4) and `shaded` (smooth illumination gradient, ink a
+    constant drop below the LOCAL background). normalize_illumination
+    routes them by background polarity and rescues each with the exact
+    analog of the reference op that exists for precisely this failure:
+    equalize_hist (cv2.equalizeHist, focus_impl.py:37) for flat
+    low-contrast pages — a fixed threshold cannot place itself between
+    B-d and B for every (B, d), histogram equalization can; and
+    adaptive_binarize (cv2.adaptiveThreshold block=21 C=15,
+    image_utils.py:153-155) for shaded pages — NO global threshold
+    separates a gradient whose background spans more than the ink drop,
+    a local-mean threshold does, exactly (margin arithmetic at
+    adaptive_binarize). Sharpen alone retains the documented stance: an
+    unsharp kernel over clipped uint8 is not exactly invertible, so it
+    has no surface under a bit-exact equality gate.
 """
 
 from __future__ import annotations
@@ -386,6 +401,117 @@ def add_speckles(img: np.ndarray, rng, n: int, ink: int = 255) -> np.ndarray:
         budget[cell] = budget.get(cell, 0) + 1
         placed += 1
     return out
+
+
+# --------------------------------------------------------------------------
+# lit-document contrast chain: equalize (M9) + adaptive binarize (M10)
+# --------------------------------------------------------------------------
+
+# Background-polarity router: canonical engine images are bright ink on a
+# black background (median pixel 0; noise blobs median < 60). The
+# reference's photo domain is the opposite — dark ink on a lit page — and
+# that is what the contrast ops exist for. median >= LIT_BG_MIN routes an
+# image through the lit-document chain.
+LIT_BG_MIN = 80
+# Local-mean adaptive threshold parameters — the reference's
+# cv2.adaptiveThreshold(gray, 255, ADAPTIVE_THRESH_GAUSSIAN_C,
+# THRESH_BINARY, 21, 15) (/root/reference/src/ocr/image_utils.py:153-155),
+# restated mean-based so the exactness argument below is closed-form.
+ADAPTIVE_BLOCK = 21
+ADAPTIVE_C = 15
+# Ink drop of the shaded corpus variant: local background minus ink value.
+SHADED_INK_DROP = 64
+
+
+def equalize_hist(img: np.ndarray) -> np.ndarray:
+    """Histogram equalization, exact cv2.equalizeHist semantics
+    (/root/reference/src/ocr/focus_impl.py:37): LUT(v) = round((cdf(v) -
+    cdf_min) / (n - cdf_min) * 255), cdf_min = cdf at the lowest occupied
+    bin. Any two-valued low-contrast page maps to full-range {0, 255}
+    regardless of its absolute levels — which is why it rescues pages a
+    fixed threshold cannot."""
+    flat = img.ravel()
+    hist = np.bincount(flat, minlength=256)
+    cdf = hist.cumsum()
+    nz = np.flatnonzero(hist)
+    if nz.size <= 1:
+        return np.zeros_like(img)  # uniform page: nothing to equalize
+    cdf_min = int(cdf[nz[0]])
+    denom = int(cdf[-1]) - cdf_min
+    lut = np.rint((cdf - cdf_min) / denom * 255.0).clip(0, 255).astype(np.uint8)
+    return lut[img]
+
+
+def _local_mean(img: np.ndarray, block: int) -> np.ndarray:
+    """Mean of the (clipped) block x block window around each pixel via an
+    integral image — O(pixels), no Python loop."""
+    h, w = img.shape
+    r = block // 2
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.int64), axis=1, out=ii[1:, 1:])
+    y0 = np.clip(np.arange(h) - r, 0, h)
+    y1 = np.clip(np.arange(h) + r + 1, 0, h)
+    x0 = np.clip(np.arange(w) - r, 0, w)
+    x1 = np.clip(np.arange(w) + r + 1, 0, w)
+    sums = (ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0])
+    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / counts
+
+
+def adaptive_binarize(img: np.ndarray, block: int = ADAPTIVE_BLOCK,
+                      c: int = ADAPTIVE_C) -> np.ndarray:
+    """Local-mean adaptive threshold (reference cv2.adaptiveThreshold,
+    image_utils.py:153-155): ink where the pixel sits more than `c` below
+    its local background. Returns canonical polarity (ink 255, bg 0).
+
+    Exact on the shaded corpus family by margin arithmetic: with ink drop
+    d = SHADED_INK_DROP = 64, window ink fraction f <= 0.583 (the
+    glyph-grid ceiling: GLYPH_H*GLYPH_W / (LINE_PITCH*CHAR_PITCH) even if
+    every glyph bit were ink) and ramp deviation |r - rbar| <= 6 (slope
+    budget |gx|+|gy| <= 0.6 over a 21-px window), an ink pixel satisfies
+    r - d < rbar - d*f - c because 6 < d*(1-f) - c = 64*0.417 - 15 = 11.7,
+    and a background pixel never does because -6 > -d*f - c <= -15."""
+    mean = _local_mean(img, block)
+    return ((img.astype(np.float64) < mean - c) * 255).astype(np.uint8)
+
+
+def normalize_illumination(img: np.ndarray) -> np.ndarray:
+    """Map a lit-background document (dark ink on a light page — the
+    reference's entire photo domain) into the engine's canonical
+    bright-ink-on-black domain; identity on canonical images.
+
+    Routing is deterministic: background polarity by median, then flat
+    two-valued pages (lowcontrast family) through equalize_hist +
+    inversion, many-valued pages (shaded family) through
+    adaptive_binarize. Each rescuer is load-bearing for its family ONLY
+    (tests prove the cross-assignments fail): equalize's global map
+    cannot split a gradient page, and the adaptive margin c = 15 rejects
+    flat pages with ink drop d < c."""
+    if img.size == 0 or int(np.median(img)) < LIT_BG_MIN:
+        return img
+    values = np.unique(img)
+    if values.size == 1:
+        return np.zeros_like(img)  # uniform lit page: blank, not ink
+    if values.size == 2:
+        return 255 - equalize_hist(img)
+    return adaptive_binarize(img)
+
+
+def lit_lowcontrast(img: np.ndarray, bg: int, drop: int) -> np.ndarray:
+    """Datagen side: canonical render -> flat lit page, ink = bg - drop."""
+    return (bg - drop * (img > 0)).astype(np.uint8)
+
+
+def lit_shaded(img: np.ndarray, gx: float, gy: float,
+               base: float, drop: int = SHADED_INK_DROP) -> np.ndarray:
+    """Datagen side: canonical render -> lit page under a linear
+    illumination ramp, ink a constant `drop` below the local background.
+    Callers keep |gx|+|gy| <= 0.6 and the ramp inside [LIT_BG_MIN+40,
+    250] so adaptive_binarize's exactness margins hold."""
+    h, w = img.shape
+    ramp = base + gx * np.arange(w)[None, :] + gy * np.arange(h)[:, None]
+    gray = np.rint(ramp) - drop * (img > 0)
+    return gray.clip(0, 255).astype(np.uint8)
 
 
 # --------------------------------------------------------------------------

@@ -174,6 +174,110 @@ def test_faint_cascade_rejects_noise():
         assert decode_bitmap(noise) == ""
 
 
+def test_equalize_hist_cv2_semantics():
+    """equalize_hist implements the exact cv2.equalizeHist LUT
+    (reference focus_impl.py:37): LUT(v) = round((cdf(v) - cdf_min) /
+    (n - cdf_min) * 255)."""
+    from ocr_spark.preprocess import equalize_hist
+
+    img = np.array([[10, 10, 10, 200], [10, 200, 200, 50]], dtype=np.uint8)
+    # counts: 10 -> 4, 50 -> 1, 200 -> 3; cdf: 4, 5, 8; cdf_min = 4
+    # LUT: 10 -> 0, 50 -> round(1/4*255) = 64, 200 -> 255
+    out = equalize_hist(img)
+    expect = np.array([[0, 0, 0, 255], [0, 255, 255, 64]], dtype=np.uint8)
+    assert np.array_equal(out, expect)
+    # any two-valued page maps to exactly {0, 255}, minority-low first
+    for bg, d in ((100, 2), (250, 1), (96, 90)):
+        page = np.full((9, 9), bg, np.uint8)
+        page[2:5, 3:6] = bg - d
+        eq = equalize_hist(page)
+        assert set(np.unique(eq)) == {0, 255}
+        assert eq[3, 4] == 0 and eq[0, 0] == 255
+    # uniform page: nothing to equalize
+    assert not equalize_hist(np.full((4, 4), 77, np.uint8)).any()
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_lowcontrast_equalize_roundtrip(text):
+    """M9 contrast surface: a flat lit page with ink drop as small as 4
+    greys decodes exactly — and ONLY via the equalize router: the fixed
+    threshold chain and the adaptive path (c=15 > drop) both fail."""
+    from ocr_spark.fonts import _decode_pass
+    from ocr_spark.preprocess import adaptive_binarize, lit_lowcontrast
+
+    img = render_text(text)
+    for bg, drop in ((96, 4), (128, 5), (200, 8), (230, 12)):
+        page = lit_lowcontrast(img, bg, drop)
+        assert decode_bitmap(page) == text
+        # load-bearing: without the router the fixed-threshold chain sees
+        # a solid ink slab (both levels above 64) and reads garbage
+        assert _decode_pass(page, 64)[0] != text
+        # distinct surface: the adaptive margin c=15 swallows drops < 15
+        assert not adaptive_binarize(page).any()
+
+
+def test_shaded_adaptive_roundtrip():
+    """M10 adaptive-binarize surface: an illumination-gradient page whose
+    background spans MORE than the ink drop decodes exactly — no global
+    threshold (equalized or not) can separate it."""
+    from ocr_spark.preprocess import adaptive_binarize, equalize_hist, lit_shaded
+
+    rng = random.Random(99)
+    text = "SHADED 1111 2222 3333 4444\nGRID VALUE TOKEN"
+    img = render_text(text)
+    h, w = img.shape
+    for _ in range(25):
+        gx = rng.choice([-0.3, -0.2, -0.1, 0.1, 0.2, 0.3])
+        gy = rng.choice([-0.3, -0.2, -0.1, 0.1, 0.2, 0.3])
+        span = abs(gx) * (w - 1) + abs(gy) * (h - 1)
+        if span > 110:
+            gx, gy = gx * 110 / span, gy * 110 / span
+            span = 110.0
+        lo = 124 + (abs(gx) * (w - 1) if gx < 0 else 0) \
+            + (abs(gy) * (h - 1) if gy < 0 else 0)
+        base = lo + rng.random() * (244 - 124 - span)
+        page = lit_shaded(img, gx, gy, base)
+        assert decode_bitmap(page) == text
+        # the adaptive threshold recovers the render BIT-EXACTLY
+        assert np.array_equal(adaptive_binarize(page),
+                              ((img > 0) * 255).astype(np.uint8))
+    # load-bearing: background span (~110) > ink drop (64), so even the
+    # best global threshold after equalization mixes ink and background
+    page = lit_shaded(img, 0.3, 0.2, 170)
+    eq = 255 - equalize_hist(page)
+    assert decode_bitmap(((eq >= 64) * 255).astype(np.uint8)) != text
+
+
+def test_lit_pages_compose_with_rot90():
+    from ocr_spark.preprocess import lit_lowcontrast, lit_shaded
+
+    text = "ROTLIT 9090 8080 7070 6060"
+    img = render_text(text)
+    for k in (1, 2, 3):
+        low = np.ascontiguousarray(np.rot90(lit_lowcontrast(img, 150, 6), k))
+        assert decode_bitmap(low) == text
+        sh = np.ascontiguousarray(np.rot90(lit_shaded(img, 0.2, -0.1, 170), k))
+        assert decode_bitmap(sh) == text
+
+
+def test_lit_router_ignores_dark_background_images():
+    """normalize_illumination is identity on the canonical domain —
+    renders, faint ink, and sub-bright noise all pass through."""
+    from ocr_spark.preprocess import normalize_illumination
+
+    rng = random.Random(5)
+    img = render_text("PLAIN PAGE", ink=200)
+    assert normalize_illumination(img) is img
+    faint = render_text("FAINT", ink=40)
+    assert normalize_illumination(faint) is faint
+    noise = np.array([rng.randrange(0, 60) for _ in range(1600)],
+                     dtype=np.uint8).reshape(40, 40)
+    assert normalize_illumination(noise) is noise
+    # uniform lit page (no ink at all) normalizes to blank, not garbage
+    blank = np.full((30, 40), 180, np.uint8)
+    assert decode_bitmap(blank) == ""
+
+
 def test_crop_regions_tile_the_image():
     w, h = 31, 17
     for pair in (("top_half", "bottom_half"), ("left_half", "right_half")):
@@ -215,6 +319,8 @@ def test_corpus_variants_all_decode(spark):
     assert any("speckled" in v for v in variants)
     assert any("upscaled" in v for v in variants)
     assert any("rotated" in v for v in variants)
+    assert any("lowcontrast" in v for v in variants)
+    assert any("shaded" in v for v in variants)
     blobs = spark.createDataFrame(pdf)
     got = {r["media_ref"]: r["text"]
            for r in recognize_blobs(blobs).collect()}
