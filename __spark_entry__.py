@@ -749,6 +749,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED coarse quantizer: distributed spherical
+    k-means (Lloyd, 3 iterations, deterministic md5-hash seeding — no
+    RNG) replaces the fixed md5 codebook, then the same probed-cell
+    top-k. Iterative algorithm — deliberately no SQL oracle (the driver
+    records the rows-only check); convergence, determinism, and
+    recall-vs-fixed-codebook are pytest-verified
+    (tests/test_dedup_similarity.py::test_train_ivf_*)."""
+    from ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding",
+                                num_centroids=16, iters=3)
+    out = ivf_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=10,
+                   num_centroids=16, nprobe=2, centroids=cents)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -791,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "emb_neardup_lsh": emb_neardup_lsh,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_trained_topk": ann_ivf_trained_topk,
     }
 
 
