@@ -41,6 +41,20 @@ def _corpus_sf(sf_dir: str) -> float:
         return 0.1
 
 
+def _corpus_fmt(sf: float) -> int | None:
+    """Corpus format stamp (datagen fmt=N) of the flagship input, so a
+    BENCH record names the exact variant mix its numbers were taken on."""
+    from ocr_spark.datagen import corpus_dir
+
+    try:
+        with open(os.path.join(corpus_dir(sf), "_COMPLETE"),
+                  encoding="utf-8") as fh:
+            m = re.search(r"fmt=(\d+)", fh.read())
+        return int(m.group(1)) if m else None
+    except OSError:
+        return None
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -203,6 +217,7 @@ def main() -> None:
         "n_docs": flagship["n_docs"],
         "flagship_sec": flagship["flagship_sec"],
         "equality_pct": flagship["equality_pct"],
+        "corpus_fmt": _corpus_fmt(sf),
     }
     if os.environ.get("BENCH_SCALING") == "1":
         scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "1.0"))

@@ -423,15 +423,17 @@ ADAPTIVE_C = 15
 SHADED_INK_DROP = 64
 
 
-def equalize_hist(img: np.ndarray) -> np.ndarray:
+def equalize_hist(img: np.ndarray,
+                  hist: np.ndarray | None = None) -> np.ndarray:
     """Histogram equalization, exact cv2.equalizeHist semantics
     (/root/reference/src/ocr/focus_impl.py:37): LUT(v) = round((cdf(v) -
     cdf_min) / (n - cdf_min) * 255), cdf_min = cdf at the lowest occupied
     bin. Any two-valued low-contrast page maps to full-range {0, 255}
     regardless of its absolute levels — which is why it rescues pages a
-    fixed threshold cannot."""
-    flat = img.ravel()
-    hist = np.bincount(flat, minlength=256)
+    fixed threshold cannot. `hist` lets a caller that already counted
+    the 256-bin histogram skip the recount."""
+    if hist is None:
+        hist = np.bincount(img.ravel(), minlength=256)
     cdf = hist.cumsum()
     nz = np.flatnonzero(hist)
     if nz.size <= 1:
@@ -480,20 +482,29 @@ def normalize_illumination(img: np.ndarray) -> np.ndarray:
     reference's entire photo domain) into the engine's canonical
     bright-ink-on-black domain; identity on canonical images.
 
-    Routing is deterministic: background polarity by median, then flat
-    two-valued pages (lowcontrast family) through equalize_hist +
-    inversion, many-valued pages (shaded family) through
+    Routing is deterministic: background polarity by majority (more than
+    half the pixels at or above LIT_BG_MIN — the histogram-median rule),
+    then flat two-valued pages (lowcontrast family) through
+    equalize_hist + inversion, many-valued pages (shaded family) through
     adaptive_binarize. Each rescuer is load-bearing for its family ONLY
     (tests prove the cross-assignments fail): equalize's global map
     cannot split a gradient page, and the adaptive margin c = 15 rejects
-    flat pages with ink drop d < c."""
-    if img.size == 0 or int(np.median(img)) < LIT_BG_MIN:
+    flat pages with ink drop d < c.
+
+    Hot-path cost discipline: the router runs on EVERY blob, so the
+    polarity test is one 256-bin bincount pass — no np.median (full
+    partition copy) and no np.unique (full sort); dark-background images
+    pay only that single pass."""
+    if img.size == 0:
         return img
-    values = np.unique(img)
-    if values.size == 1:
+    hist = np.bincount(img.ravel(), minlength=256)
+    if 2 * int(hist[LIT_BG_MIN:].sum()) <= img.size:
+        return img  # dark background: canonical domain, untouched
+    occupied = np.count_nonzero(hist)
+    if occupied == 1:
         return np.zeros_like(img)  # uniform lit page: blank, not ink
-    if values.size == 2:
-        return 255 - equalize_hist(img)
+    if occupied == 2:
+        return 255 - equalize_hist(img, hist=hist)
     return adaptive_binarize(img)
 
 
