@@ -753,10 +753,12 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED coarse quantizer: distributed spherical
     k-means (Lloyd, 3 iterations, deterministic md5-hash seeding — no
     RNG) replaces the fixed md5 codebook, then the same probed-cell
-    top-k. Iterative algorithm — deliberately no SQL oracle (the driver
-    records the rows-only check); convergence, determinism, and
-    recall-vs-fixed-codebook are pytest-verified
-    (tests/test_dedup_similarity.py::test_train_ivf_*)."""
+    top-k. Full DuckDB oracle: the fixed iteration count unrolls the
+    whole training into a chain of assign/aggregate CTEs
+    (`_ann_ivf_trained_oracle`), and the 9-decimal codebook rounding in
+    `train_ivf_centroids` pins both engines to the identical quantizer.
+    Convergence / determinism / recall-vs-fixed-codebook additionally
+    pytest-verified (tests/test_dedup_similarity.py::test_train_ivf_*)."""
     from ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1126,6 +1128,95 @@ def _ann_ivf_oracle(num_centroids: int = 16, dim: int = 64,
     """
 
 
+def _ann_ivf_trained_oracle(num_centroids: int = 16, dim: int = 64,
+                            nprobe: int = 2, k: int = 10,
+                            iters: int = 3) -> str:
+    """DuckDB twin of train_ivf_centroids + ivf_topk: spherical Lloyd
+    UNROLLED — `iters` assign/aggregate CTE pairs, then the probe/rank
+    tail of `_ann_ivf_oracle`. Exact cross-engine equality holds because
+    (a) seeding is the engine-neutral (md5(id), id) order, (b) ties in
+    cell assignment break by first centroid index on both sides
+    (np.argmax ≡ row_number ordered dot DESC, cell ASC), and (c) every
+    intermediate codebook is rounded to 9 decimals on both sides, so
+    last-ulp summation-order differences cannot move a decision
+    boundary. Assumes n_vectors >= num_centroids (true at every driver
+    SF), so the md5 pad codebook never participates."""
+    sv = ", ".join(f"sum(uvec[{j + 1}])" for j in range(dim))
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    steps = []
+    for i in range(iters):
+        steps.append(f"""a{i} AS (
+          SELECT vec_id, uvec, cell FROM (
+            SELECT e.vec_id, e.uvec, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.uvec, c.cvec) DESC,
+                              c.cell ASC) AS rn
+            FROM base e CROSS JOIN cent{i} c
+          ) WHERE rn = 1
+        ), s{i} AS (
+          SELECT cell, [{sv}] AS sv FROM a{i} GROUP BY cell
+        ), cent{i + 1} AS (
+          SELECT p.cell,
+                 CASE WHEN s.cell IS NOT NULL
+                           AND sqrt(list_dot_product(s.sv, s.sv)) > 0
+                      THEN list_transform(s.sv, x -> round(
+                             x / sqrt(list_dot_product(s.sv, s.sv)), 9))
+                      ELSE p.cvec END AS cvec
+          FROM cent{i} p LEFT JOIN s{i} s ON p.cell = s.cell
+        )""")
+    chain = ", ".join(steps)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(
+                          CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])))) AS uvec
+          FROM embeddings
+        ), cent0 AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cell,
+                 list_transform(uvec, x -> round(x, 9)) AS cvec
+          FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {num_centroids}
+        ), {chain}, fassign AS (
+          SELECT vec_id, vec, norm, cell FROM (
+            SELECT e.vec_id, e.vec, e.norm, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.uvec, c.cvec) DESC,
+                              c.cell ASC) AS rn
+            FROM base e CROSS JOIN cent{iters} c
+          ) WHERE rn = 1
+        ), qprobe AS (
+          SELECT query_id, qvec, qnorm, cell FROM (
+            SELECT e.vec_id AS query_id, e.vec AS qvec, e.norm AS qnorm,
+                   c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.uvec, c.cvec) DESC,
+                              c.cell ASC) AS rn
+            FROM base e CROSS JOIN cent{iters} c
+            WHERE e.vec_id IN ({qids})
+          ) WHERE rn <= {nprobe}
+        ), scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(a.vec, p.qvec)
+                       / (a.norm * p.qnorm), 6) AS cos_sim
+          FROM fassign a JOIN qprobe p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 _EN = r"\b(the|a|and|of|to|for|at|is|in)\b"
 _DE = r"\b(der|die|das|und|ist|nicht|ein)\b"
 _FR = r"\b(le|la|les|et|est|une|des)\b"
@@ -1478,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(num_planes=6, threshold=0.35),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_ivf_trained_topk": _ann_ivf_trained_oracle(),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).

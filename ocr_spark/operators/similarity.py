@@ -223,12 +223,20 @@ def train_ivf_centroids(
     vec_col: str,
     num_centroids: int = 16,
     iters: int = 5,
+    round_decimals: int | None = 9,
 ) -> np.ndarray:
     """Distributed spherical k-means (Lloyd) — a TRAINED coarse quantizer
-    for IVF, vs the fixed md5 codebook of `_ivf_centroids`. The classic
-    iterative algorithm the SQL oracle cannot express; recall gains are
-    pytest-verified against planted clusters instead
-    (tests/test_dedup_similarity.py).
+    for IVF, vs the fixed md5 codebook of `_ivf_centroids`. Iterative,
+    but still fully SQL-oracle-able: with a fixed iteration count the
+    whole training unrolls into a chain of assign/aggregate CTEs (see
+    `__spark_entry__._ann_ivf_trained_oracle`), and `round_decimals`
+    pins each intermediate codebook to a decimal grid so cross-engine
+    floating-point summation order (Spark partial-sum tree vs DuckDB
+    streaming sum, disagreeing only in the last ulp) cannot drift the
+    cell decision boundaries between engines. 9 decimals is far below
+    any geometric significance and far above the ~1e-15 cross-engine
+    disagreement, so the rounding is behavior-neutral per engine while
+    making the two engines' codebooks bit-identical.
 
     Deterministic end to end: seeds are the `num_centroids` vectors with
     the smallest (md5(id), id) — an engine-neutral order, no RNG — and
@@ -263,6 +271,8 @@ def train_ivf_centroids(
         norms = np.linalg.norm(seeds, axis=1)
         norms[norms == 0] = 1.0
         cents[: len(seeds)] = seeds / norms[:, None]
+        if round_decimals is not None:
+            cents = np.round(cents, round_decimals)
 
         spark = emb.sparkSession
         sum_cols = [
@@ -306,7 +316,10 @@ def train_ivf_centroids(
                 v = np.asarray(row[2:], dtype=np.float64)
                 n = np.linalg.norm(v)
                 if row["n"] > 0 and n > 0:
-                    new[row["cell"]] = v / n
+                    new[row["cell"]] = (
+                        np.round(v / n, round_decimals)
+                        if round_decimals is not None else v / n
+                    )
             cents = new
         return cents
     finally:
