@@ -654,6 +654,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column reading-order inference (the north rule's PDF/layout
+    parse): block rectangles are derived deterministically from the
+    events table (pages alternate 2- and 3-column grids; every 11th
+    block is a column-spanning "headline" that must merge its islands),
+    then operators/layout.py recovers column islands + column-major
+    order. Full DuckDB oracle — identical integer geometry + the same
+    running-max window rule."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.layout import reading_order
+
+    ev = _t(spark, sf_dir, "events")
+    seq = F.row_number().over(
+        W.partitionBy("user_id").orderBy("event_id")
+    ) - 1
+    ncols = F.lit(2) + (F.col("user_id") % 2)
+    blocks = (
+        ev.select("user_id", "event_id")
+        .withColumn("seq", seq)
+        .withColumn("c", F.col("seq") % ncols)
+        .withColumn("r", F.floor(F.col("seq") / ncols))
+        .select(
+            F.col("user_id").alias("page_id"),
+            F.col("event_id").alias("block_id"),
+            (F.col("c") * 400).alias("x0"),
+            (F.col("r") * 50 + F.col("event_id") % 7).alias("y0"),
+            F.when(F.col("event_id") % 11 == 0,
+                   F.col("c") * 400 + 500)
+            .otherwise(F.col("c") * 400 + 300 + F.col("event_id") % 80)
+            .alias("x1"),
+            (F.col("r") * 50 + F.col("event_id") % 7 + 40).alias("y1"),
+        )
+    )
+    out = reading_order(blocks)
+    return out.select(
+        "page_id", "block_id",
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.col("read_order").cast("long").alias("read_order"),
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: hash-min label propagation
+    over the MinHash-LSH candidate graph (fixed 4 rounds + a convergence
+    check that raises instead of under-merging). Full DuckDB oracle: the
+    minhash-pair SQL feeds the same 4 unrolled join+min rounds."""
+    from ocr_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        neardup_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.9
+    )
+    return neardup_components(pairs, iters=4, check_converged=True)
+
+
 def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: k-gram rolling hash +
     window-min selection. md5-derived hash family -> full DuckDB oracle."""
@@ -807,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_components": dedup_components,
+        "layout_reading_order": layout_reading_order,
         "dedup_simhash": dedup_simhash,
         "text_winnowing_fp": text_winnowing_fp,
         "ann_cosine_topk": ann_cosine_topk,
@@ -946,6 +1007,72 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16,
         )
         SELECT id_a, id_b, round(ej, 4) AS est_jaccard
         FROM est WHERE ej >= {threshold}
+    """
+
+
+_LAYOUT_READING_ORDER_ORACLE = """
+    WITH seqd AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+               AS seq,
+             2 + user_id % 2 AS ncols
+      FROM events
+    ), blocks AS (
+      SELECT user_id AS page_id, event_id AS block_id,
+             (seq % ncols) * 400 AS x0,
+             (seq // ncols) * 50 + event_id % 7 AS y0,
+             CASE WHEN event_id % 11 = 0 THEN (seq % ncols) * 400 + 500
+                  ELSE (seq % ncols) * 400 + 300 + event_id % 80 END AS x1,
+             (seq // ncols) * 50 + event_id % 7 + 40 AS y1
+      FROM seqd
+    ), g AS (
+      SELECT *, max(x1) OVER (PARTITION BY page_id
+                 ORDER BY x0, x1, block_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM blocks
+    ), c AS (
+      SELECT *, CAST(sum(CASE WHEN prev_max IS NULL OR x0 >= prev_max
+                              THEN 1 ELSE 0 END)
+                OVER (PARTITION BY page_id ORDER BY x0, x1, block_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS BIGINT) AS col_idx
+      FROM g
+    )
+    SELECT page_id, block_id, col_idx,
+           row_number() OVER (PARTITION BY page_id
+             ORDER BY col_idx, y0, x0, block_id) AS read_order
+    FROM c
+"""
+
+
+def _dedup_components_oracle(iters: int = 4) -> str:
+    """DuckDB twin of dedup.neardup_components over the minhash-LSH pair
+    graph: the pair oracle becomes a CTE, then `iters` unrolled rounds of
+    (join labels to edges, min-aggregate) — exactly the Spark loop. The
+    Spark side's convergence check guarantees the fixed unroll depth is
+    sufficient (it raises rather than under-merging)."""
+    rounds = "".join(
+        f""", l{i + 1} AS (
+          SELECT id, min(label) AS label FROM (
+            SELECT e.dst AS id, l.label
+            FROM edges e JOIN l{i} l ON e.src = l.id
+            UNION ALL
+            SELECT id, label FROM l{i}
+          ) GROUP BY id
+        )"""
+        for i in range(iters)
+    )
+    return f"""
+        WITH pairs AS ({_minhash_lsh_oracle()}
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), l0 AS (
+          SELECT DISTINCT src AS id, src AS label FROM edges
+        ){rounds}
+        SELECT id AS doc_id, label AS component_id FROM l{iters}
     """
 
 
@@ -1565,6 +1692,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_components": _dedup_components_oracle(),
+        "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(num_planes=6, threshold=0.35),

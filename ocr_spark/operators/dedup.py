@@ -374,3 +374,85 @@ def simhash_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 4,
+    check_converged: bool = False,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: the bridge from
+    candidate PAIRS (minhash_lsh_candidates / simhash_neardup_pairs /
+    similarity.lsh_neardup_pairs) to duplicate CLUSTERS, so curation can
+    keep one representative per component instead of per pair (the
+    reference dedups whole duplicate groups, not edges — cf. its
+    first-occurrence discipline, /root/reference/src/ocr/cli.js:21-27).
+
+    Hash-min label propagation with a FIXED iteration count: every vertex
+    starts labeled with itself; each round every vertex takes the min
+    label over itself and its neighbors. After k rounds a vertex holds
+    the min id within its k-hop neighborhood, so components converge once
+    iters >= graph diameter. Near-dup components are band-collision
+    near-cliques (diameter 1-2 in practice); `iters` defaults to 4 for
+    slack, and `check_converged=True` runs one extra round and raises if
+    any label would still move — turning a too-small `iters` into a loud
+    error instead of a silent under-merge.
+
+    The fixed iteration count is what makes the op SQL-oracle-able (the
+    DuckDB twin unrolls the same k join+group rounds). For adversarial
+    long-chain graphs at cluster scale, swap in the O(log n)-round
+    large-star/small-star variant; the per-round shape here is already
+    the scale-safe one — one shuffle join of edges to labels on the
+    vertex id plus one min-aggregate, no driver-side state, labels never
+    wider than one id.
+
+    Returns (doc_id, component_id): one row per vertex that appears in
+    `pairs`, component_id = min doc id of its component. Isolated docs
+    (no pairs) are by construction absent; callers wanting a total
+    assignment coalesce with the identity on the doc table.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    lab = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+
+    def _round(lab: DataFrame) -> DataFrame:
+        msgs = edges.join(
+            lab.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        return msgs.union(lab).groupBy("id").agg(
+            F.min("label").alias("label")
+        )
+
+    for _ in range(iters):
+        lab = _round(lab)
+    if check_converged:
+        lab = lab.persist()
+        try:
+            moved = (
+                _round(lab)
+                .withColumnRenamed("label", "next_label")
+                .join(lab, "id")
+                .filter(F.col("next_label") != F.col("label"))
+                .count()
+            )
+            if moved:
+                raise ValueError(
+                    f"neardup_components: {moved} labels still moving "
+                    f"after {iters} iterations — raise `iters` "
+                    f"(graph diameter exceeds it)"
+                )
+            return lab.select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("component_id"),
+            )
+        finally:
+            lab.unpersist(blocking=False)
+    return lab.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )

@@ -328,3 +328,37 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_neardup_components_planted_graph(spark):
+    """Hash-min label propagation merges chains and separates islands:
+    {a,b,c} via a-b, b-c; {d,e} via d-e; component id = min member."""
+    from ocr_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "e")], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in neardup_components(pairs, iters=3,
+                                    check_converged=True).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_neardup_components_unconverged_raises(spark):
+    """A 5-vertex path has diameter 4: one propagation round cannot
+    finish, and check_converged must turn that into a loud error."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.dedup import neardup_components
+
+    chain = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(4)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(ValueError, match="still moving"):
+        neardup_components(chain, iters=1, check_converged=True).collect()
+    # enough rounds: the whole path collapses onto v0
+    ok = neardup_components(chain, iters=4, check_converged=True)
+    assert {r["component_id"] for r in ok.collect()} == {"v0"}
+
