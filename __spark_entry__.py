@@ -654,6 +654,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) + per-session
+    stats — the batch twin of Structured Streaming session windows,
+    expressed as Catalyst windows in integer microseconds so the DuckDB
+    oracle decides every boundary identically."""
+    from ocr_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "session_seq", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("se"),
+        "duration_us",
+    )
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (curation before a corpus ships to training):
+    emails / card numbers / phone numbers -> typed tokens, all JVM-side
+    regexp_replace in PII_PATTERNS order. PII-bearing text is
+    synthesized deterministically from customer columns (the testdata
+    carries no natural PII — same device as f1_voucher_extract_synth),
+    with per-key presence variation so counts are non-constant. Counts
+    are raw per-pattern pre-redaction matches (patterns may overlap).
+    Full DuckDB oracle: identical synthesis + the same regexes verbatim
+    (patterns stay in the common Java-regex/RE2 subset)."""
+    from ocr_spark.functions.textstats import pii_counts, pii_scrub
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email = F.concat(F.lit("user"), k.cast("string"),
+                     F.lit("@example.com"))
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        k % 90 + 10, (k * 7) % 1000, (k * 13) % 1000, (k * 31) % 10000,
+    )
+    card = F.format_string(
+        "%04d %04d %04d %04d",
+        (k * 3) % 10000, (k * 5) % 10000, (k * 11) % 10000,
+        (k * 17) % 10000,
+    )
+    text = F.concat_ws(
+        " ", F.col("c_name"),
+        F.when(k % 2 == 0, email).otherwise(F.lit("no-mail")),
+        F.lit("tel"), phone,
+        F.when(k % 3 == 0, F.concat(F.lit("card "), card)),
+        F.col("c_mktsegment"),
+    )
+    counts = pii_counts(text)
+    return cust.select(
+        "c_custkey",
+        pii_scrub(text).alias("scrubbed"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["card"].cast("long").alias("n_card"),
+        counts["phone_intl"].cast("long").alias("n_phone"),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (balanced training subsets):
+    per event_type keep the 100 rows ranked first by (md5(event_id),
+    event_id) — the engine-neutral keyed permutation, no RNG. Full
+    DuckDB oracle."""
+    from ocr_spark.operators.curate import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(ev, "event_type", "event_id", 100)
+    return out.select("event_type", "event_id", "sample_rank")
+
+
 def layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column reading-order inference (the north rule's PDF/layout
     parse): block rectangles are derived deterministically from the
@@ -868,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_components": dedup_components,
         "layout_reading_order": layout_reading_order,
+        "text_pii_scrub": text_pii_scrub,
+        "sample_stratified": sample_stratified,
+        "q5_sessionization": q5_sessionization,
         "dedup_simhash": dedup_simhash,
         "text_winnowing_fp": text_winnowing_fp,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1008,6 +1082,86 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16,
         SELECT id_a, id_b, round(ej, 4) AS est_jaccard
         FROM est WHERE ej >= {threshold}
     """
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of text_pii_scrub: identical deterministic synthesis,
+    then the PII_PATTERNS regexes verbatim (global 'g' flag — Spark's
+    regexp_replace is replace-all by default)."""
+    from ocr_spark.functions.textstats import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    scrub = "t"
+    for name, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+        WITH s AS (
+          SELECT c_custkey,
+                 concat_ws(' ', c_name,
+                   CASE WHEN c_custkey % 2 = 0
+                        THEN 'user' || CAST(c_custkey AS VARCHAR)
+                             || '@example.com'
+                        ELSE 'no-mail' END,
+                   'tel',
+                   printf('%02d-%03d-%03d-%04d',
+                          c_custkey % 90 + 10, (c_custkey * 7) % 1000,
+                          (c_custkey * 13) % 1000,
+                          (c_custkey * 31) % 10000),
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN 'card ' || printf('%04d %04d %04d %04d',
+                               (c_custkey * 3) % 10000,
+                               (c_custkey * 5) % 10000,
+                               (c_custkey * 11) % 10000,
+                               (c_custkey * 17) % 10000) END,
+                   c_mktsegment) AS t
+          FROM customer
+        )
+        SELECT c_custkey,
+               {scrub} AS scrubbed,
+               CAST(len(regexp_extract_all(t, '{pats["email"]}'))
+                    AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t, '{pats["card"]}'))
+                    AS BIGINT) AS n_card,
+               CAST(len(regexp_extract_all(t, '{pats["phone_intl"]}'))
+                    AS BIGINT) AS n_phone
+        FROM s
+    """
+
+
+_SESSIONIZATION_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, CAST(sum(opens) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq
+      FROM s
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS se,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+             AS duration_us
+    FROM g GROUP BY user_id, session_seq
+"""
+
+
+_SAMPLE_STRATIFIED_ORACLE = """
+    SELECT event_type, event_id, sample_rank FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS sample_rank
+      FROM events
+    ) WHERE sample_rank <= 100
+"""
 
 
 _LAYOUT_READING_ORDER_ORACLE = """
@@ -1694,6 +1848,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
+        "text_pii_scrub": _pii_scrub_oracle(),
+        "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
+        "q5_sessionization": _SESSIONIZATION_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(num_planes=6, threshold=0.35),

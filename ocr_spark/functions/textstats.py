@@ -90,3 +90,44 @@ def fingerprint(text: Column | str) -> Column:
     exact dedup (mirrors the reference's md5 content keys,
     /root/reference/src/database/jsonDb.py:21-27)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), WS_SPLIT, " "))
+
+
+# --------------------------------------------------------------------------
+# PII redaction (curation: scrub before a corpus ships to training)
+# --------------------------------------------------------------------------
+
+# Ordered: widest/most-specific first so a 16-digit card is never half-
+# eaten by a phone pattern. Every pattern stays inside the common
+# Java-regex/RE2 subset (char classes, \d, \b, bounded repeats — no
+# lookaround), so the DuckDB oracle runs them VERBATIM.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("phone_intl", r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("phone_us", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails / card numbers / phone numbers with typed tokens.
+
+    A chain of JVM-side regexp_replace calls (whole-stage codegen, no
+    Python); patterns applied in PII_PATTERNS order. The reference has
+    no PII surface — this is part of the training-data curation
+    vocabulary the 100 TB pipeline needs before a corpus ships.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """{kind: match count} for each PII pattern, pre-redaction."""
+    return {
+        name: F.size(F.regexp_extract_all(
+            F.col(text) if isinstance(text, str) else text,
+            F.lit(pat), 0))
+        for name, pat, _ in PII_PATTERNS
+    }

@@ -179,3 +179,33 @@ def curate_and_extract(
         "audit_version": av,
         "wall_sec": round(time.monotonic() - t0, 3),
     }
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic per-stratum sample: within each `group_col` value
+    keep the `n_per_group` rows ranked first by (md5(key), key) — an
+    engine-neutral pseudo-random order (the same keyed-permutation
+    device as the w3 seeded shuffle), so the sample is reproducible,
+    oracle-checkable, and free of RNG state.
+
+    The balanced-subset primitive of training-data curation (cap each
+    class/language/source at a quota). Scale shape: one hash shuffle on
+    `group_col` + a per-partition rank — no global sort; group skew is
+    bounded by the quota ranking, and at extreme per-group cardinality
+    the same statement runs with a pre-aggregated (group, md5-prefix)
+    bucket filter before ranking. Appends `sample_rank` (1-based).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )

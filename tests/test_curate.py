@@ -127,3 +127,51 @@ def test_lineage_keepers_resolve_in_one_hop(spark, tmp_path, corpus):
     assert lin == {"aa-copy": "doc-00000001", "ab-copy": "doc-00000001"}
     committed = {r["doc_id"] for r in results.read(spark).collect()}
     assert set(lin.values()) <= committed
+
+
+def test_pii_scrub_patterns(spark):
+    """Each PII kind redacts to its typed token; clean text unchanged."""
+    from ocr_spark.functions.textstats import pii_counts, pii_scrub
+
+    rows = [
+        ("a", "mail bob.smith+x@corp.example.org now"),
+        ("b", "card 1234 5678 9012 3456 ok"),
+        ("c", "call 12-345-678-9012 or 555-123-4567"),
+        ("d", "nothing sensitive 123 here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    counts = pii_counts("t")
+    out = {
+        r["id"]: (r["s"], r["ne"], r["nc"], r["np"], r["nu"])
+        for r in df.select(
+            "id", pii_scrub("t").alias("s"),
+            counts["email"].alias("ne"), counts["card"].alias("nc"),
+            counts["phone_intl"].alias("np"),
+            counts["phone_us"].alias("nu"),
+        ).collect()
+    }
+    assert out["a"] == ("mail <EMAIL> now", 1, 0, 0, 0)
+    assert out["b"] == ("card <CARD> ok", 0, 1, 0, 0)
+    # n_us = 2: the US pattern also matches the 3-3-4 tail inside the
+    # intl number (counts are per-pattern pre-redaction and may overlap
+    # — documented in pii_counts); redaction order prevents double
+    # replacement, so the TEXT still shows exactly two tokens.
+    assert out["c"] == ("call <PHONE> or <PHONE>", 0, 0, 1, 2)
+    assert out["d"] == ("nothing sensitive 123 here", 0, 0, 0, 0)
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    """Each stratum capped at n; ranking is the md5-keyed permutation
+    (engine-neutral), so two runs agree exactly."""
+    from ocr_spark.operators.curate import stratified_sample
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = stratified_sample(df, "g", "k", 5).collect()
+    by_g: dict[str, list] = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["sample_rank"], r["k"]))
+    assert len(by_g["big"]) == 5          # capped
+    assert len(by_g["small"]) == 5        # smaller stratum: capped too
+    again = stratified_sample(df, "g", "k", 5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
