@@ -769,9 +769,12 @@ def layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup PAIRS: hash-min label propagation
-    over the MinHash-LSH candidate graph (fixed 4 rounds + a convergence
-    check that raises instead of under-merging). Full DuckDB oracle: the
-    minhash-pair SQL feeds the same 4 unrolled join+min rounds."""
+    over the MinHash-LSH candidate graph. Fixed 2 rounds — near-dup
+    components at >=0.9 est-Jaccard are band-collision near-cliques
+    (diameter <= 2), and the convergence check runs one extra round and
+    RAISES if any label would still move, so a deeper graph becomes a
+    loud error, never a silent under-merge. Full DuckDB oracle: the
+    minhash-pair SQL feeds the same 2 unrolled join+min rounds."""
     from ocr_spark.operators.dedup import (
         minhash_lsh_candidates,
         neardup_components,
@@ -781,7 +784,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.9
     )
-    return neardup_components(pairs, iters=4, check_converged=True)
+    return neardup_components(pairs, iters=2, check_converged=True)
 
 
 def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1846,7 +1849,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
-        "dedup_components": _dedup_components_oracle(),
+        "dedup_components": _dedup_components_oracle(iters=2),
         "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,

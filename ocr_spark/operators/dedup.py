@@ -413,10 +413,22 @@ def neardup_components(
     (no pairs) are by construction absent; callers wanting a total
     assignment coalesce with the identity on the doc table.
     """
-    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Iterative-lineage discipline: every round references `edges` once
+    # and `lab` twice, so without caching the logical plan re-derives
+    # the (expensive) pair pipeline per round and the lab subtree
+    # doubles each round — exponential recompute. Persist the edge set
+    # once and each round's labels; materialize the final labels, then
+    # drop only the intermediates (the returned frame stays cached so
+    # consuming it is a cache read, not a chain replay).
+    # `half` feeds both directions of the symmetric union — persist it so
+    # an expensive upstream pair pipeline (minhash/simhash) runs once,
+    # not twice.
+    half = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).persist()
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().persist()
     lab = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -429,11 +441,13 @@ def neardup_components(
             F.min("label").alias("label")
         )
 
+    steps = []
     for _ in range(iters):
-        lab = _round(lab)
-    if check_converged:
-        lab = lab.persist()
-        try:
+        lab = _round(lab).persist()
+        steps.append(lab)
+    try:
+        lab.count()  # materialize the chain once, through the caches
+        if check_converged:
             moved = (
                 _round(lab)
                 .withColumnRenamed("label", "next_label")
@@ -447,12 +461,12 @@ def neardup_components(
                     f"after {iters} iterations — raise `iters` "
                     f"(graph diameter exceeds it)"
                 )
-            return lab.select(
-                F.col("id").alias("doc_id"),
-                F.col("label").alias("component_id"),
-            )
-        finally:
-            lab.unpersist(blocking=False)
-    return lab.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
-    )
+        return lab.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+        )
+    finally:
+        half.unpersist(blocking=False)
+        edges.unpersist(blocking=False)
+        for step in steps[:-1]:
+            step.unpersist(blocking=False)

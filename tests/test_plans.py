@@ -145,3 +145,35 @@ def test_rendered_doc_queries_prune_scan(spark):
     schemas = " ".join(read_schemas(df))
     assert "doc_id" in schemas and "text" in schemas
     assert "lang" not in schemas and "n_chars" not in schemas, schemas
+
+
+def test_layout_reading_order_single_exchange(spark):
+    """Layout parse must shuffle ONCE on the page id: both window passes
+    (running-max gutter detect, running-sum column index) and the final
+    reading-order rank share one partitioning; a second Exchange means a
+    window spec drifted off the page key."""
+    df = entry_mod.layout_reading_order(spark, SF_DIR)
+    assert exchange_count(df) == 1, executed_plan(df)
+
+
+def test_sessionization_single_exchange(spark):
+    """Sessionize + per-session stats: one shuffle on user_id; the lag,
+    the running session counter, and the (user, session) aggregate all
+    reuse it (the group key extends the window partition key)."""
+    df = entry_mod.q5_sessionization(spark, SF_DIR)
+    assert exchange_count(df) == 1, executed_plan(df)
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Per-stratum quota ranking: one shuffle on the stratum column."""
+    df = entry_mod.sample_stratified(spark, SF_DIR)
+    assert exchange_count(df) == 1, executed_plan(df)
+
+
+def test_pii_scrub_no_exchange_no_python(spark):
+    """PII redaction is a pure JVM projection: no shuffle at all, and no
+    Python evaluation node in the plan."""
+    df = entry_mod.text_pii_scrub(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert exchange_count(df) == 0, plan
+    assert "Python" not in plan, plan
