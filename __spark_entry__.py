@@ -671,6 +671,41 @@ def q5_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j5_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each non-purchase event joined to the user's most
+    recent purchase at-or-before it — the carry-forward window
+    formulation (one shuffle on user_id, NO join node, no per-row range
+    probe). Full DuckDB oracle via last_value(... IGNORE NULLS)."""
+    from ocr_spark.operators.sessions import asof_last_event, ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    out = asof_last_event(ev, "purchase")
+    return (
+        out.filter(F.col("event_type") != "purchase")
+        .select(
+            "event_id", "user_id", "event_type",
+            (ts_micros(F.col("ts")) - F.col("asof_us"))
+            .alias("us_since_purchase"),
+            F.col("asof_key").alias("purchase_event_id"),
+        )
+    )
+
+
+def a9_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates per event_type (linear interpolation
+    — the percentile_cont definition both engines share). At cluster
+    scale the same statement swaps percentile -> approx_percentile
+    (t-digest) with a documented error bound; the exact form is what
+    makes the oracle byte-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.percentile("value", F.lit(q)), 6).alias(name)
+        for name, q in
+        [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]
+    ]
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"), *aggs)
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (curation before a corpus ships to training):
     emails / card numbers / phone numbers -> typed tokens, all JVM-side
@@ -945,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "sample_stratified": sample_stratified,
         "q5_sessionization": q5_sessionization,
+        "j5_asof_last_purchase": j5_asof_last_purchase,
+        "a9_value_percentiles": a9_value_percentiles,
         "dedup_simhash": dedup_simhash,
         "text_winnowing_fp": text_winnowing_fp,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1153,6 +1190,36 @@ _SESSIONIZATION_ORACLE = """
            CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
              AS duration_us
     FROM g GROUP BY user_id, session_seq
+"""
+
+
+_ASOF_ORACLE = """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS asof_us,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS asof_key
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) - asof_us AS BIGINT) AS us_since_purchase,
+           asof_key AS purchase_event_id
+    FROM t WHERE event_type <> 'purchase'
+"""
+
+
+_PERCENTILES_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
 """
 
 
@@ -1854,6 +1921,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle(),
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
         "q5_sessionization": _SESSIONIZATION_ORACLE,
+        "j5_asof_last_purchase": _ASOF_ORACLE,
+        "a9_value_percentiles": _PERCENTILES_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(num_planes=6, threshold=0.35),

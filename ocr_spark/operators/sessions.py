@@ -23,12 +23,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def _micros(ts):
+def ts_micros(ts):
     """unix_micros over either timestamp flavor. Parquet tables load as
     TIMESTAMP_NTZ, which unix_micros rejects; the NTZ -> TIMESTAMP cast
     is an identity on the stored instant under the engine's pinned UTC
-    session zone (session.py)."""
+    session zone (session.py). Shared by every event-time operator that
+    needs engine-neutral integer-microsecond arithmetic (sessionize,
+    as-of join)."""
     return F.unix_micros(ts.cast("timestamp"))
+
+
+_micros = ts_micros
 
 
 def sessionize(
@@ -52,6 +57,40 @@ def sessionize(
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return events.withColumn(
         "session_seq", F.sum(opens).over(wrun).cast("long")
+    )
+
+
+def asof_last_event(
+    events: DataFrame,
+    match_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user AS-OF join against the stream's own `match_type` events:
+    append `asof_ts` / `asof_key` = the most recent `match_type` event
+    at-or-before each row (by (ts, key) order), null when none precedes.
+
+    The carry-forward formulation of the time-series as-of join — the
+    operator Spark lacks natively: instead of a per-row range probe
+    (quadratic, unbuildable at scale), tag the reference rows inline and
+    run `last(..., ignorenulls=True)` over one user-partitioned window.
+    ONE shuffle on the user id, no join at all; the same shape handles a
+    two-table as-of join by unioning the tagged reference stream first.
+    """
+    w = (
+        W.partitionBy(user_col).orderBy(ts_col, key_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_ref = F.col(type_col) == match_type
+    return events.withColumn(
+        "asof_us",
+        F.last(F.when(is_ref, ts_micros(F.col(ts_col))),
+               ignorenulls=True).over(w),
+    ).withColumn(
+        "asof_key",
+        F.last(F.when(is_ref, F.col(key_col)), ignorenulls=True).over(w),
     )
 
 

@@ -177,3 +177,12 @@ def test_pii_scrub_no_exchange_no_python(spark):
     plan = executed_plan(df)
     assert exchange_count(df) == 0, plan
     assert "Python" not in plan, plan
+
+
+def test_asof_join_single_exchange_no_join_node(spark):
+    """The as-of join is the carry-forward window, not a join: one
+    shuffle on user_id and ZERO join operators in the physical plan."""
+    df = entry_mod.j5_asof_last_purchase(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "Join" not in plan, plan

@@ -37,3 +37,31 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 1)] == (2, 30 * 60 * 1_000_000)
     assert stats[(1, 2)] == (1, 0)
     assert stats[(2, 1)] == (1, 0)
+
+
+def test_asof_last_event_boundaries(spark):
+    """As-of = at-or-before by (ts, key): a purchase at the same ts with
+    a smaller key is visible; with a larger key it is not; users with no
+    preceding purchase get nulls."""
+    import datetime as dt
+
+    from ocr_spark.operators.sessions import asof_last_event
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "purchase"),
+        (1, 2, t0, "view"),            # same ts, key 2 > 1 -> sees purchase 1
+        (1, 3, t0 + dt.timedelta(1), "view"),
+        (1, 4, t0 + dt.timedelta(2), "purchase"),
+        (1, 5, t0 + dt.timedelta(3), "view"),   # sees purchase 4, not 1
+        (2, 6, t0, "view"),            # user 2: no purchase at all
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts",
+                                      "event_type"])
+    got = {
+        r["event_id"]: r["asof_key"]
+        for r in asof_last_event(df, "purchase").collect()
+    }
+    assert got[2] == 1 and got[3] == 1
+    assert got[5] == 4
+    assert got[6] is None
