@@ -283,8 +283,21 @@ def _make_blob(bi: int, seed: int) -> dict:
     # fmt=7: half the pool ships PNG-encoded (the reference canonicalizes
     # every input through PNG decode, cli.py:100-112); the rest stays the
     # raw fast format. Filter choice exercises the codec's vectorized
-    # decode paths (None/Sub/Up).
-    if rng.random() < 0.5 and img.size:
+    # decode paths (None/Sub/Up). fmt=11: a further 15% slice of the
+    # plain/rotated pages ships baseline JPEG (jpeg_codec.py, quant=1
+    # near-lossless: |err| <= 1). Those variants flow binarize->classify,
+    # where +-1 sits far inside the threshold margins; the exactly-
+    # invertible families (warp/upscale/lit/speckle) stay PNG/raw — their
+    # inverses verify BIT-EXACT pixel identities (block equality,
+    # two-valued histograms, frame signatures) that any lossy codec
+    # legitimately breaks, exactly as real scanned-JPEG pipelines accept
+    # OCR-level rather than pixel-level fidelity.
+    r = rng.random()
+    if r < 0.15 and img.size and variant in ("plain", "rotated"):
+        from .jpeg_codec import encode_jpeg
+
+        payload, codec = encode_jpeg(img), "jpeg"
+    elif r < 0.60 and img.size:
         from .png_codec import encode_png
 
         payload, codec = encode_png(img, filter_type=rng.choice([0, 1, 2])), "png"
@@ -466,7 +479,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=10 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=11 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

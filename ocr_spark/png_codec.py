@@ -228,4 +228,13 @@ def blob_to_array(payload: bytes, height: int, width: int) -> np.ndarray:
                 f"PNG dims {img.shape} != metadata ({height}, {width})"
             )
         return img
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"JPEG dims {img.shape} != metadata ({height}, {width})"
+            )
+        return img
     return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)

@@ -141,18 +141,25 @@ def test_blob_to_array_sniffs_both_formats():
         blob_to_array(encode_png(img), 5, 8)
 
 
-def test_corpus_ships_both_codecs_and_decodes():
-    """fmt=7 corpus: PNG and raw payloads coexist; the pure oracle decodes
-    both through blob_to_array to ground_text."""
+def test_corpus_ships_all_codecs_and_decodes():
+    """fmt=11 corpus: raw, PNG and baseline-JPEG payloads coexist in one
+    column; the pure oracle decodes every codec through blob_to_array to
+    ground_text (JPEG's +-1 rounding sits inside the binarize margin, so
+    recognition stays exact)."""
     from ocr_spark.datagen import generate_corpus
     from ocr_spark.fonts import decode_bitmap
 
     blobs = generate_corpus(n_docs=120, seed=45)["media_blobs"].to_pylist()
     codecs = {b["codec"] for b in blobs}
-    assert codecs == {"png", "raw"}
+    assert codecs == {"png", "raw", "jpeg"}
+    # JPEG only for the binarize-robust families — the bit-exact-inverse
+    # variants must stay lossless
+    jpeg_variants = {b["variant"] for b in blobs if b["codec"] == "jpeg"}
+    assert jpeg_variants <= {"plain", "rotated"}
     for b in blobs:
-        is_png = bytes(b["pixels"])[:8] == PNG_SIGNATURE
-        assert is_png == (b["codec"] == "png")
+        head = bytes(b["pixels"])[:8]
+        assert (head[:8] == PNG_SIGNATURE) == (b["codec"] == "png")
+        assert (head[:2] == b"\xff\xd8") == (b["codec"] == "jpeg")
         if b["variant"] in ("plain", "noise"):
             img = blob_to_array(b["pixels"], b["height"], b["width"])
             assert decode_bitmap(img) == b["ground_text"]
