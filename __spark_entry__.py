@@ -615,6 +615,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's headline text op — Readability-style HTML
+    boilerplate strip (operators/boilerplate.py, the same Arrow UDF the
+    flagship text branch runs) — under a full DuckDB value oracle.
+
+    The testdata carries no HTML, so an HTML page is synthesized
+    deterministically per document (same device as
+    f1_voucher_extract_synth / text_pii_scrub): chrome blocks
+    (header/nav/footer — dropped by tag), a <p> whose length varies
+    around the MIN_CONTENT_CHARS=20 threshold, a <div> with an inline
+    anchor whose link density varies around MAX_LINK_DENSITY=0.33, and
+    a <li> stub around the length threshold. Spark runs the *generic*
+    regex stripper on the assembled page; the oracle recomputes the
+    expected surviving blocks arithmetically from the construction
+    parameters (the m6/r4 "recompute from geometry" pattern), so the
+    tag classification, link-density ratio, min-length gate, anchor
+    text retention, and document-order join are all value-checked."""
+    from ocr_spark.operators.boilerplate import strip_boilerplate_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.col("text")
+    p_body = text.substr(F.lit(1), (F.lit(10) + (d * 7) % 20).cast("int"))
+    anchor = text.substr(F.lit(1), (F.lit(10) + (d * 13) % 60).cast("int"))
+    li_body = text.substr(F.lit(1), (F.lit(12) + (d * 11) % 16).cast("int"))
+    html = F.concat(
+        F.lit("<header>site chrome "), d.cast("string"),
+        F.lit("</header><nav><a href=\"/\">home</a> "
+              "<a href=\"/a\">about</a></nav><p>"),
+        p_body,
+        F.lit("</p><div>"), text,
+        F.lit(" <a href=\"#\">"), anchor,
+        F.lit("</a></div><li>"), li_body,
+        F.lit("</li><footer>(c) example</footer>"),
+    )
+    main_text = strip_boilerplate_udf(html)
+    return docs.select(
+        "doc_id",
+        main_text.alias("main_text"),
+        F.when(main_text == "", F.lit(0))
+        .otherwise(F.size(F.split(main_text, "\n")))
+        .cast("long").alias("n_kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: deduplication
 # --------------------------------------------------------------------------
@@ -972,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": text_quality_score,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_boilerplate_strip": text_boilerplate_strip,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1825,6 +1871,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        # Recomputes the expected surviving blocks arithmetically from the
+        # synthesis parameters (chrome blocks always drop by tag; <p>/<li>
+        # drop iff trimmed length < 20; the <div> drops iff anchor-visible
+        # chars / block-visible chars > 0.33) — the Spark side runs the
+        # generic regex stripper on the assembled HTML instead.
+        "text_boilerplate_strip": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     trim(substr(text, 1,
+                       CAST(10 + (doc_id * 7) % 20 AS INT))) AS p_vis,
+                     trim(substr(text, 1,
+                       CAST(10 + (doc_id * 13) % 60 AS INT))) AS a_vis,
+                     trim(substr(text, 1,
+                       CAST(12 + (doc_id * 11) % 16 AS INT))) AS l_vis
+              FROM documents
+            ), k AS (
+              SELECT doc_id,
+                     CASE WHEN length(p_vis) >= 20 THEN p_vis END AS p_keep,
+                     CASE WHEN length(text || ' ' || a_vis) >= 20
+                               AND NOT (length(a_vis) * 1.0
+                                        / length(text || ' ' || a_vis)
+                                        > 0.33)
+                          THEN text || ' ' || a_vis END AS d_keep,
+                     CASE WHEN length(l_vis) >= 20 THEN l_vis END AS l_keep
+              FROM s
+            )
+            SELECT doc_id,
+                   concat_ws(chr(10), p_keep, d_keep, l_keep) AS main_text,
+                   CAST((CASE WHEN p_keep IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN d_keep IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN l_keep IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM k
         """,
         "dedup_exact": r"""
             WITH doubled AS (
