@@ -660,6 +660,18 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/curate.py
+    repetition_metrics): duplicate-word fraction + dominant 2-gram and
+    its share, per document. All-Catalyst (zip_with/slice bigrams, two
+    keyed aggregations); full DuckDB oracle recomputes both signals
+    from the same word split."""
+    from ocr_spark.operators.curate import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: deduplication
 # --------------------------------------------------------------------------
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "text_boilerplate_strip": text_boilerplate_strip,
+        "text_repetition": text_repetition,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1905,6 +1918,45 @@ def oracle_sql() -> dict[str, str]:
                       + (CASE WHEN l_keep IS NOT NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_kept
             FROM k
+        """,
+        # Same word split, same two signals; the top bigram ties break to
+        # (count DESC, bigram ASC) on both engines; fractions land on the
+        # floor(x*1e6+0.5)/1e6 grid (BASELINE.md rounding note).
+        "text_repetition": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              GROUP BY 1, 2
+            ), dup AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                     floor((sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                            * 1.0 / sum(cnt)) * 1000000 + 0.5) / 1000000
+                       AS dup_word_frac
+              FROM wc GROUP BY 1
+            ), bgc AS (
+              SELECT doc_id, bigram, count(*) AS cnt
+              FROM (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+                FROM w, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+                WHERE len(w) >= 2
+              ) GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id, bigram, cnt,
+                     sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC
+                     ) AS rn
+              FROM bgc
+            )
+            SELECT d.doc_id, d.n_words, d.dup_word_frac,
+                   t.bigram AS top_bigram,
+                   floor((t.cnt * 1.0 / t.n_bigrams) * 1000000 + 0.5)
+                     / 1000000 AS top_bigram_frac
+            FROM dup d LEFT JOIN top t
+              ON d.doc_id = t.doc_id AND t.rn = 1
         """,
         "dedup_exact": r"""
             WITH doubled AS (

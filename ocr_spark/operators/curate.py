@@ -181,6 +181,77 @@ def curate_and_extract(
     }
 
 
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters — the standard pre-training curation
+    gate the reference's OCR text would feed at corpus scale):
+
+      * ``dup_word_frac``   — fraction of word occurrences whose word
+        appears more than once in the document,
+      * ``top_bigram``      — the most frequent word 2-gram (ties break
+        to the lexicographically smallest, so the answer is engine-
+        neutral and oracle-checkable),
+      * ``top_bigram_frac`` — its share of all 2-gram occurrences.
+
+    All-Catalyst: the 2-gram list is built array-side with
+    ``zip_with(slice, slice)`` (no per-doc window, no Python), then one
+    explode + two-level aggregation per signal. Scale shape: both
+    aggregations shuffle on (id, token) with map-side partial counts —
+    token skew is bounded because the key includes the doc id; nothing
+    is quadratic. Fractions are integer/integer divisions rounded via
+    the engines-agree ``floor(x*1e6+0.5)/1e6`` grid (BASELINE.md
+    rounding note).
+    """
+    def _round6(c):
+        return F.floor(c * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000)
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), words.alias("w"))
+
+    wc = (
+        base.select(id_col, F.explode("w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dup = wc.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        _round6(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt")
+        ).alias("dup_word_frac"),
+    )
+
+    n = F.size("w")
+    bigrams = F.zip_with(
+        F.slice("w", F.lit(1), n - 1),
+        F.slice("w", F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bgc = (
+        base.filter(n >= 2)
+        .select(id_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = bgc.groupBy(id_col).agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("bigram").alias("bg"))
+        ).alias("m"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+    top = top.select(
+        id_col,
+        F.col("m.bg").alias("top_bigram"),
+        _round6((-F.col("m.neg")) / F.col("n_bigrams"))
+        .alias("top_bigram_frac"),
+    )
+    return dup.join(top, id_col, "left")
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -175,3 +175,33 @@ def test_stratified_sample_quota_and_determinism(spark):
     assert len(by_g["small"]) == 5        # smaller stratum: capped too
     again = stratified_sample(df, "g", "k", 5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_repetition_metrics_planted_values(spark):
+    from ocr_spark.operators.curate import repetition_metrics
+
+    rows = [
+        # "a b a b a": words a=3,b=2 all dup -> dup_frac 1.0;
+        # bigrams: "a b" x2, "b a" x2 -> tie breaks to "a b"; 2/4 = 0.5
+        (1, "a b a b a"),
+        # all unique words, unique bigrams -> dup 0, top = first
+        # lexicographic bigram at count 1 -> 1/3
+        (2, "w x y z"),
+        # single word: no bigrams -> null top_bigram
+        (3, "solo"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_metrics(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_words"] == 5
+    assert out[1]["dup_word_frac"] == 1.0
+    assert out[1]["top_bigram"] == "a b"
+    assert out[1]["top_bigram_frac"] == 0.5
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_bigram"] == "w x"
+    assert abs(out[2]["top_bigram_frac"] - 0.333333) < 1e-9
+    assert out[3]["n_words"] == 1
+    assert out[3]["top_bigram"] is None
