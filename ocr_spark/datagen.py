@@ -292,6 +292,10 @@ def _make_blob(bi: int, seed: int) -> dict:
     # two-valued histograms, frame signatures) that any lossy codec
     # legitimately breaks, exactly as real scanned-JPEG pipelines accept
     # OCR-level rather than pixel-level fidelity.
+    # fmt=12: a 12% slice ships as HEIF uncompressed image items
+    # (isobmff.py, ISO 23001-17 unci — the AVIF container with a
+    # lossless payload, so it is safe for the bit-exact invertible
+    # variant families too).
     r = rng.random()
     if r < 0.15 and img.size and variant in ("plain", "rotated"):
         from .jpeg_codec import encode_jpeg
@@ -301,6 +305,10 @@ def _make_blob(bi: int, seed: int) -> dict:
         from .png_codec import encode_png
 
         payload, codec = encode_png(img, filter_type=rng.choice([0, 1, 2])), "png"
+    elif r < 0.72 and img.size:
+        from .isobmff import encode_heif_unci
+
+        payload, codec = encode_heif_unci(img), "unci"
     else:
         payload, codec = img.tobytes(), "raw"
     return {"media_ref": ref, "width": img.shape[1], "height": img.shape[0],
@@ -479,7 +487,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED,
     scan (and every map-side UDF stage) onto one task.
     """
     shards = shards or min(128, max(8, n_docs // 128))
-    stamp = f"n_docs={n_docs} seed={seed} fmt=11 shards={shards}\n"
+    stamp = f"n_docs={n_docs} seed={seed} fmt=12 shards={shards}\n"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not overwrite and os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:

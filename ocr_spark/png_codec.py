@@ -237,4 +237,13 @@ def blob_to_array(payload: bytes, height: int, width: int) -> np.ndarray:
                 f"JPEG dims {img.shape} != metadata ({height}, {width})"
             )
         return img
+    if payload[4:8] == b"ftyp":  # ISOBMFF/HEIF family (AVIF, unci HEIF)
+        from .isobmff import decode_isobmff
+
+        img = decode_isobmff(payload)
+        if img.shape != (height, width):
+            raise ValueError(
+                f"HEIF dims {img.shape} != metadata ({height}, {width})"
+            )
+        return img
     return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)

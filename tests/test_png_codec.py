@@ -142,16 +142,16 @@ def test_blob_to_array_sniffs_both_formats():
 
 
 def test_corpus_ships_all_codecs_and_decodes():
-    """fmt=11 corpus: raw, PNG and baseline-JPEG payloads coexist in one
-    column; the pure oracle decodes every codec through blob_to_array to
-    ground_text (JPEG's +-1 rounding sits inside the binarize margin, so
-    recognition stays exact)."""
+    """fmt=12 corpus: raw, PNG, baseline-JPEG and HEIF-unci payloads
+    coexist in one column; the pure oracle decodes every codec through
+    blob_to_array to ground_text (JPEG's +-1 rounding sits inside the
+    binarize margin, so recognition stays exact)."""
     from ocr_spark.datagen import generate_corpus
     from ocr_spark.fonts import decode_bitmap
 
     blobs = generate_corpus(n_docs=120, seed=45)["media_blobs"].to_pylist()
     codecs = {b["codec"] for b in blobs}
-    assert codecs == {"png", "raw", "jpeg"}
+    assert codecs == {"png", "raw", "jpeg", "unci"}
     # JPEG only for the binarize-robust families — the bit-exact-inverse
     # variants must stay lossless
     jpeg_variants = {b["variant"] for b in blobs if b["codec"] == "jpeg"}
@@ -160,6 +160,7 @@ def test_corpus_ships_all_codecs_and_decodes():
         head = bytes(b["pixels"])[:8]
         assert (head[:8] == PNG_SIGNATURE) == (b["codec"] == "png")
         assert (head[:2] == b"\xff\xd8") == (b["codec"] == "jpeg")
+        assert (head[4:8] == b"ftyp") == (b["codec"] == "unci")
         if b["variant"] in ("plain", "noise"):
             img = blob_to_array(b["pixels"], b["height"], b["width"])
             assert decode_bitmap(img) == b["ground_text"]
