@@ -672,6 +672,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 3 merge
+    rounds over the documents word vocabulary; returns every word with
+    its frequency and final symbol sequence. Full DuckDB oracle — the
+    fixed round count unrolls into pair-count/argmax/rewrite CTEs (the
+    trained-IVF device), with the double-space symbol representation
+    making literal replace-all exactly the greedy BPE merge on both
+    engines."""
+    from ocr_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe_merges(docs, "text", n_merges=3)
+    return vocab
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: deduplication
 # --------------------------------------------------------------------------
@@ -1031,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_boilerplate_strip": text_boilerplate_strip,
         "text_repetition": text_repetition,
+        "bpe_learn": bpe_learn,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1181,6 +1197,50 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16,
         SELECT id_a, id_b, round(ej, 4) AS est_jaccard
         FROM est WHERE ej >= {threshold}
     """
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled twin of operators/bpe.py learn_bpe_merges (the
+    trained-IVF device): per round, one pair-count CTE, one
+    deterministic argmax (count DESC, pair ASC), one literal
+    replace-all rewrite in the double-space symbol representation —
+    byte-identical semantics to Spark's replace."""
+    sql = r"""
+        WITH v AS (
+          SELECT word, count(*) AS freq
+          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents)
+          WHERE length(word) > 0 GROUP BY 1
+        ), s0 AS (
+          SELECT word, freq,
+                 array_to_string(string_split(word, ''), '  ') AS syms
+          FROM v
+        )"""
+    prev = "s0"
+    for i in range(1, n_merges + 1):
+        sql += f""", p{i} AS (
+          SELECT w[j] || ' ' || w[j+1] AS pair, sum(freq) AS cnt
+          FROM (SELECT freq, string_split(syms, '  ') AS w FROM {prev}),
+               UNNEST(generate_series(1, len(w) - 1)) AS t(j)
+          GROUP BY 1
+        ), b{i} AS (
+          SELECT pair FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+        ), s{i} AS (
+          SELECT word, freq,
+                 trim(replace(' ' || syms || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '  ') FROM b{i})
+                          || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM b{i})
+                          || ' ')) AS syms
+          FROM {prev}
+        )"""
+        prev = f"s{i}"
+    sql += f"""
+        SELECT word, freq, replace(syms, '  ', ' ') AS tokens,
+               CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+        FROM {prev}
+    """
+    return sql
 
 
 def _pii_scrub_oracle() -> str:
@@ -2051,6 +2111,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_oracle(iters=2),
         "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
+        "bpe_learn": _bpe_oracle(3),
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
         "q5_sessionization": _SESSIONIZATION_ORACLE,
         "j5_asof_last_purchase": _ASOF_ORACLE,
