@@ -672,6 +672,38 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/curate.py pack_sequences):
+    concatenate documents in doc_id order, chunk into 512-token context
+    windows, report each doc's window span + offset. Full DuckDB oracle
+    (same running-sum arithmetic)."""
+    from ocr_spark.functions.textstats import token_count
+    from ocr_spark.operators.curate import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(with_tokens, "doc_id", "n_tokens", window=512)
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py
+    ngram_contamination): every 10th document plays the eval set; flag
+    training docs sharing any word 8-gram with it. The modulus is
+    calibrated to the driver tables so the overlap is non-vacuous at
+    every sf (7/6/46 contaminated docs at sf0.001/0.01/0.1 — the
+    round-2 vacuous-oracle lesson). The eval slice is excluded from the
+    corpus side, so hits are genuine cross-document containment.
+    Broadcast probe plan-pinned in tests/test_plans.py."""
+    from ocr_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(corpus, bench, "doc_id", "text", n=8)
+
+
 def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): 3 merge
     rounds over the documents word vocabulary; returns every word with
@@ -1047,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_strip": text_boilerplate_strip,
         "text_repetition": text_repetition,
         "bpe_learn": bpe_learn,
+        "pack_sequences": pack_sequences_q,
+        "decontaminate_ngrams": decontaminate_ngrams,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2112,6 +2146,52 @@ def oracle_sql() -> dict[str, str]:
         "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "bpe_learn": _bpe_oracle(3),
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+                     AS start_pack,
+                   CAST(floor(greatest(cum - 1, cum - n_tokens) / 512.0)
+                        AS BIGINT) AS end_pack,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        # Same 8-gram shingles as the Spark side (distinct within doc),
+        # bench slice = doc_id % 10 = 0, excluded from the corpus side.
+        "decontaminate_ngrams": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(w[i:i+7], ' ')
+                        for i in generate_series(1, len(w) - 7)]
+                     )) AS shingle
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS w
+                    FROM documents)
+              WHERE len(w) >= 8
+            )
+            SELECT c.doc_id,
+                   CAST(count(DISTINCT c.shingle) AS BIGINT)
+                     AS n_shared_ngrams,
+                   CAST(count(DISTINCT b.doc_id) AS BIGINT)
+                     AS n_bench_docs
+            FROM sh c JOIN sh b ON c.shingle = b.shingle
+            WHERE c.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+            GROUP BY c.doc_id
+        """,
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
         "q5_sessionization": _SESSIONIZATION_ORACLE,
         "j5_asof_last_purchase": _ASOF_ORACLE,

@@ -252,6 +252,49 @@ def repetition_metrics(
     return dup.join(top, id_col, "left")
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    window: int = 512,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``id_col``
+    order and chunk the stream into fixed ``window``-token contexts
+    (the standard pre-training batch layout). Pure prefix-sum
+    arithmetic — for each doc:
+
+      * ``start_pack`` / ``end_pack`` — first/last context window the
+        doc lands in (docs may straddle boundaries, exactly like the
+        concat-then-chunk pipelines they model),
+      * ``pack_offset`` — position of the doc's first token inside
+        ``start_pack``.
+
+    One global ordering window (running sum over ``id_col``). At 100 TB
+    a single total order is the known scale limit of any packing step;
+    the production form runs the identical statement per shard/day
+    partition (pack ids then namespace by shard), which this operator
+    supports by simply pre-partitioning the input — the arithmetic is
+    per-row after the running sum either way. Empty docs (0 tokens)
+    get end_pack = start_pack (they occupy no tokens but keep a
+    deterministic slot).
+    """
+    from pyspark.sql import Window as W
+
+    cum = F.sum(tokens_col).over(
+        W.orderBy(id_col).rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev = (cum - F.col(tokens_col)).alias("prev_cum")
+    return df.select(
+        id_col,
+        F.col(tokens_col),
+        F.floor(prev / window).cast("long").alias("start_pack"),
+        F.floor(
+            F.greatest(cum - 1, prev) / window
+        ).cast("long").alias("end_pack"),
+        (prev % window).cast("long").alias("pack_offset"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

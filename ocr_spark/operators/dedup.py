@@ -470,3 +470,45 @@ def neardup_components(
         edges.unpersist(blocking=False)
         for step in steps[:-1]:
             step.unpersist(blocking=False)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 App. C; the GPT-3
+    13-gram filter): flag corpus documents sharing any word ``n``-gram
+    with an evaluation set, so they can be dropped before training.
+
+    Returns one row per contaminated corpus doc:
+    (doc_id, n_shared_ngrams, n_bench_docs) — how many DISTINCT of the
+    doc's n-grams are compromised and how many benchmark docs share at
+    least one.
+
+    Scale shape: the benchmark side is small by definition (an eval
+    suite, not the corpus), so its distinct-shingle set broadcasts and
+    the probe is a map-side semi-ish join inside the corpus scan stage
+    — the corpus is read ONCE, no all-pairs anywhere. Hot shingles
+    (stopword runs) cannot skew a broadcast probe. The per-doc tallies
+    then shuffle only (doc_id, shingle-hit) rows — bounded by the
+    contamination volume, not the corpus.
+    """
+    corp = word_shingles(corpus, id_col, text_col, n)
+    bench = (
+        word_shingles(benchmark, id_col, text_col, n)
+        .select(F.col("id").alias("bench_id"), "shingle")
+    )
+    hits = corp.join(F.broadcast(bench), "shingle")
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.countDistinct("shingle").cast("long")
+            .alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").cast("long")
+            .alias("n_bench_docs"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

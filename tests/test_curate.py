@@ -205,3 +205,30 @@ def test_repetition_metrics_planted_values(spark):
     assert abs(out[2]["top_bigram_frac"] - 0.333333) < 1e-9
     assert out[3]["n_words"] == 1
     assert out[3]["top_bigram"] is None
+
+
+def test_pack_sequences_arithmetic(spark):
+    from ocr_spark.operators.curate import pack_sequences
+
+    rows = [(1, 500), (2, 20), (3, 0), (4, 1024), (5, 4)]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(
+            spark.createDataFrame(rows, ["doc_id", "n_tokens"]),
+            window=512,
+        ).collect()
+    }
+    # doc1: tokens 0..499 -> pack 0 only
+    assert (out[1]["start_pack"], out[1]["end_pack"],
+            out[1]["pack_offset"]) == (0, 0, 0)
+    # doc2: tokens 500..519 -> straddles packs 0 and 1
+    assert (out[2]["start_pack"], out[2]["end_pack"],
+            out[2]["pack_offset"]) == (0, 1, 500)
+    # doc3: empty doc at cum=520 -> zero-width slot in pack 1
+    assert (out[3]["start_pack"], out[3]["end_pack"],
+            out[3]["pack_offset"]) == (1, 1, 8)
+    # doc4: tokens 520..1543 -> packs 1..3
+    assert (out[4]["start_pack"], out[4]["end_pack"]) == (1, 3)
+    # doc5: tokens 1544..1547 -> pack 3, offset 1544-1536=8
+    assert (out[5]["start_pack"], out[5]["end_pack"],
+            out[5]["pack_offset"]) == (3, 3, 8)

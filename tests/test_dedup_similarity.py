@@ -362,3 +362,32 @@ def test_neardup_components_unconverged_raises(spark):
     ok = neardup_components(chain, iters=4, check_converged=True)
     assert {r["component_id"] for r in ok.collect()} == {"v0"}
 
+
+
+def test_ngram_contamination_planted(spark):
+    from ocr_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the full 5-gram window twice (two distinct 5-grams
+            # of the bench doc appear)
+            (1, "x alpha beta gamma delta epsilon zeta y"),
+            # shares nothing at n=5
+            (2, "alpha beta gamma q r s t"),
+            (3, "totally unrelated words here now then"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_contamination(
+            corpus, bench, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["n_shared_ngrams"] == 2
+    assert out[1]["n_bench_docs"] == 1

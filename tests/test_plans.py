@@ -186,3 +186,11 @@ def test_asof_join_single_exchange_no_join_node(spark):
     plan = executed_plan(df)
     assert exchange_count(df) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_decontamination_probe_is_broadcast(spark):
+    """Decontamination: the eval-set shingle side must broadcast — the
+    corpus shingle stream is probed in its own scan stage, never
+    shuffled against the small benchmark."""
+    df = entry_mod.decontaminate_ngrams(spark, SF_DIR)
+    assert has_broadcast_join(df)
