@@ -719,6 +719,26 @@ def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab
 
 
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality signal (operators/lm.py
+    bigram_perplexity): add-one bigram LM trained on the documents
+    table in one pass, every document scored by mean NLL in exact
+    integer micro-nats. Full DuckDB oracle re-derives the model and
+    the scores from the same word split."""
+    from ocr_spark.operators.lm import bigram_perplexity
+
+    return bigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (operators/lm.py
+    tfidf_topk), idf pinned to the integer micro-nat grid, ties broken
+    by word — deterministic and hash-oracled."""
+    from ocr_spark.operators.lm import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: deduplication
 # --------------------------------------------------------------------------
@@ -1079,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_strip": text_boilerplate_strip,
         "text_repetition": text_repetition,
         "bpe_learn": bpe_learn,
+        "lm_perplexity": lm_perplexity,
+        "text_tfidf_keywords": text_tfidf_keywords,
         "pack_sequences": pack_sequences_q,
         "decontaminate_ngrams": decontaminate_ngrams,
         "dedup_exact": dedup_exact,
@@ -2191,6 +2213,77 @@ def oracle_sql() -> dict[str, str]:
             FROM sh c JOIN sh b ON c.shingle = b.shingle
             WHERE c.doc_id % 10 != 0 AND b.doc_id % 10 = 0
             GROUP BY c.doc_id
+        """,
+        # Add-one bigram LM self-scoring: ln of exact-integer ratios,
+        # pinned to a micro-nat grid before any summation (see
+        # operators/lm.py exactness discipline).
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     [t FOR t IN string_split_regex(trim(text), '\s+')
+                        IF length(t) > 0] AS w
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+              WHERE len(w) >= 2
+            ),
+            dtf AS (
+              SELECT doc_id, w1, w2, count(*) AS tf
+              FROM big GROUP BY 1, 2, 3
+            ),
+            cb AS (SELECT w1, w2, sum(tf) AS cnt FROM dtf GROUP BY 1, 2),
+            cw AS (SELECT w1, sum(cnt) AS ctx FROM cb GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(w) AS tok FROM toks)
+            ),
+            scored AS (
+              SELECT w1, w2,
+                     CAST(floor(ln((ctx + vsz) / (cnt + 1.0))
+                                * 1000000.0 + 0.5) AS BIGINT) AS nll
+              FROM cb JOIN cw USING (w1) CROSS JOIN v
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   CAST(sum(tf * nll) AS BIGINT) AS nll_micro_total,
+                   CAST(floor(sum(tf * nll)
+                              / CAST(sum(tf) AS DOUBLE) + 0.5)
+                        AS BIGINT) AS avg_nll_micro
+            FROM dtf JOIN scored USING (w1, w2)
+            GROUP BY doc_id
+        """,
+        "text_tfidf_keywords": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(
+                       [t FOR t IN string_split_regex(trim(text), '\s+')
+                          IF length(t) > 0]) AS word
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            dfw AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, word,
+                     tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df)
+                                     * 1000000.0 + 0.5) AS BIGINT)
+                       AS score_micro
+              FROM tf JOIN dfw USING (word) CROSS JOIN nd
+              WHERE floor(ln(CAST(n_docs AS DOUBLE) / df)
+                          * 1000000.0 + 0.5) > 0
+            )
+            SELECT doc_id, rank, word, score_micro FROM (
+              SELECT doc_id, word, score_micro,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_micro DESC, word ASC
+                     ) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
         "sample_stratified": _SAMPLE_STRATIFIED_ORACLE,
         "q5_sessionization": _SESSIONIZATION_ORACLE,
