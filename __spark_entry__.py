@@ -1064,6 +1064,29 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): semantic near-dup pruning inside
+    trained k-means cells — same Lloyd quantizer as
+    `ann_ivf_trained_topk`, then a chunked within-cell gram with a
+    deterministic (md5(id), id) keep-priority. tau is calibrated
+    against the synthetic embedding geometry (near-orthogonal random
+    vectors: within-cell cosines concentrate around the cell direction)
+    so the drop list is non-vacuous at every driver SF. Full DuckDB
+    oracle: the shared Lloyd CTE prefix + a within-cell self-join
+    (`_semantic_dedup_oracle`)."""
+    from ocr_spark.operators.similarity import (semantic_dedup,
+                                                train_ivf_centroids)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding",
+                                num_centroids=16, iters=3)
+    return semantic_dedup(emb, "vec_id", "embedding", SEMDEDUP_TAU,
+                          num_centroids=16, centroids=cents)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1121,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": emb_neardup_lsh,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "semantic_dedup": semantic_dedup_q,
     }
 
 
@@ -1654,21 +1678,20 @@ def _ann_ivf_oracle(num_centroids: int = 16, dim: int = 64,
     """
 
 
-def _ann_ivf_trained_oracle(num_centroids: int = 16, dim: int = 64,
-                            nprobe: int = 2, k: int = 10,
-                            iters: int = 3) -> str:
-    """DuckDB twin of train_ivf_centroids + ivf_topk: spherical Lloyd
-    UNROLLED — `iters` assign/aggregate CTE pairs, then the probe/rank
-    tail of `_ann_ivf_oracle`. Exact cross-engine equality holds because
-    (a) seeding is the engine-neutral (md5(id), id) order, (b) ties in
-    cell assignment break by first centroid index on both sides
-    (np.argmax ≡ row_number ordered dot DESC, cell ASC), and (c) every
-    intermediate codebook is rounded to 9 decimals on both sides, so
-    last-ulp summation-order differences cannot move a decision
-    boundary. Assumes n_vectors >= num_centroids (true at every driver
-    SF), so the md5 pad codebook never participates."""
+def _ivf_trained_fassign_ctes(num_centroids: int = 16, dim: int = 64,
+                              iters: int = 3) -> str:
+    """Shared CTE prefix for every trained-quantizer oracle: spherical
+    Lloyd UNROLLED into `iters` assign/aggregate CTE pairs, ending in
+    `fassign(vec_id, vec, norm, cell)` — the final cell assignment.
+    Exact cross-engine equality holds because (a) seeding is the
+    engine-neutral (md5(id), id) order, (b) ties in cell assignment
+    break by first centroid index on both sides (np.argmax ≡ row_number
+    ordered dot DESC, cell ASC), and (c) every intermediate codebook is
+    rounded to 9 decimals on both sides, so last-ulp summation-order
+    differences cannot move a decision boundary. Assumes n_vectors >=
+    num_centroids (true at every driver SF), so the md5 pad codebook
+    never participates."""
     sv = ", ".join(f"sum(uvec[{j + 1}])" for j in range(dim))
-    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
     steps = []
     for i in range(iters):
         steps.append(f"""a{i} AS (
@@ -1691,8 +1714,7 @@ def _ann_ivf_trained_oracle(num_centroids: int = 16, dim: int = 64,
           FROM cent{i} p LEFT JOIN s{i} s ON p.cell = s.cell
         )""")
     chain = ", ".join(steps)
-    return f"""
-        WITH base AS (
+    return f"""base AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS norm,
@@ -1717,7 +1739,19 @@ def _ann_ivf_trained_oracle(num_centroids: int = 16, dim: int = 64,
                               c.cell ASC) AS rn
             FROM base e CROSS JOIN cent{iters} c
           ) WHERE rn = 1
-        ), qprobe AS (
+        )"""
+
+
+def _ann_ivf_trained_oracle(num_centroids: int = 16, dim: int = 64,
+                            nprobe: int = 2, k: int = 10,
+                            iters: int = 3) -> str:
+    """DuckDB twin of train_ivf_centroids + ivf_topk: the shared
+    trained-quantizer prefix (`_ivf_trained_fassign_ctes`), then the
+    probe/rank tail of `_ann_ivf_oracle`."""
+    prefix = _ivf_trained_fassign_ctes(num_centroids, dim, iters)
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    return f"""
+        WITH {prefix}, qprobe AS (
           SELECT query_id, qvec, qnorm, cell FROM (
             SELECT e.vec_id AS query_id, e.vec AS qvec, e.norm AS qnorm,
                    c.cell,
@@ -1740,6 +1774,37 @@ def _ann_ivf_trained_oracle(num_centroids: int = 16, dim: int = 64,
             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
           FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle(tau: float, num_centroids: int = 16,
+                           dim: int = 64, iters: int = 3) -> str:
+    """DuckDB twin of similarity.semantic_dedup over the trained
+    quantizer: shared Lloyd prefix, then a within-cell self-join.
+    Priority = (md5(str(id)), id) ASC; a row is dropped iff a
+    strictly-higher-priority cell-mate has round(cos, 6) >= tau, and
+    keeper_id is the highest-priority such mate (row_number = 1 in
+    priority order ≡ the Spark side's first-True argmax over
+    priority-sorted columns)."""
+    prefix = _ivf_trained_fassign_ctes(num_centroids, dim, iters)
+    return f"""
+        WITH {prefix}, pri AS (
+          SELECT vec_id, vec, norm, cell,
+                 md5(CAST(vec_id AS VARCHAR)) AS pk
+          FROM fassign
+        ), drops AS (
+          SELECT v.vec_id AS doc_id, u.vec_id AS keeper_id,
+                 round(list_dot_product(u.vec, v.vec)
+                       / (u.norm * v.norm), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY u.pk ASC, u.vec_id ASC) AS rn
+          FROM pri v JOIN pri u
+            ON v.cell = u.cell
+           AND (u.pk < v.pk OR (u.pk = v.pk AND u.vec_id < v.vec_id))
+          WHERE round(list_dot_product(u.vec, v.vec)
+                      / (u.norm * v.norm), 6) >= {tau!r}
+        )
+        SELECT doc_id, keeper_id, cos_sim FROM drops WHERE rn = 1
     """
 
 
@@ -2294,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_lsh": _emb_neardup_lsh_oracle(num_planes=6, threshold=0.35),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_ivf_trained_topk": _ann_ivf_trained_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(SEMDEDUP_TAU),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).

@@ -529,3 +529,86 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    num_centroids: int = 16,
+    centroids: np.ndarray | None = None,
+    chunk: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
+    pruning WITHIN coarse-quantizer cells. Cluster with IVF cells (pass a
+    `train_ivf_centroids` codebook for the paper's k-means variant), then
+    inside each cell drop every vector that has a higher-priority
+    neighbor with cosine >= `tau`.
+
+    Deterministic contract (shared verbatim with the DuckDB oracle,
+    `__spark_entry__._semantic_dedup_oracle`): priority is the total
+    order (md5(str(id)), id) ascending — engine-neutral, no RNG. A row
+    is DROPPED iff some strictly-higher-priority row in its cell has
+    round(cos, 6) >= tau; `keeper_id` is the highest-priority such row.
+    A keeper can itself be dropped by a still-earlier row — greedy
+    chains resolve transitively through the drop list (same contract as
+    the curate lineage table; drop status never feeds back into the
+    decision, so rows are independent given the cell).
+
+    Scale shape (100 TB): ONE shuffle, the groupBy(cell) — vectors move
+    once, keyed by a small int. Per cell the gram product is chunked:
+    `chunk x cell_size` peak memory, never a full cell^2 matrix, one
+    BLAS matmul per chunk. num_centroids grows with n (SemDeDup uses
+    ~sqrt(n) clusters at scale) to bound cell sizes; skewed cells are a
+    codebook-quality problem, surfaced by cell-size stats, not a shuffle
+    problem. Returns (doc_id, keeper_id, cos_sim) for dropped rows only.
+    """
+    cells = with_ivf_cells(emb, id_col, vec_col, num_centroids,
+                           centroids=centroids)
+    id_t = _id_sql_type(emb, id_col)
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..blas_pin import pin_blas_single_thread
+
+        pin_blas_single_thread()
+        import hashlib
+
+        pdf = pdf.assign(
+            _pk=[hashlib.md5(str(i).encode()).hexdigest()
+                 for i in pdf["id"]]
+        ).sort_values(["_pk", "id"]).reset_index(drop=True)
+        mat = _matrix(pdf["vec"])
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        n = len(pdf)
+        ids = pdf["id"].to_numpy()
+        out = []
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            # dot/(|u||v|) on RAW vectors — the oracle's exact formula
+            # (normalize-then-dot would differ in the last ulp)
+            sims = np.round(
+                (mat[lo:hi] @ mat[:hi].T)
+                / (nrm[lo:hi, None] * nrm[None, :hi]), 6)
+            allow = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            mask = (sims >= tau) & allow
+            has = mask.any(axis=1)
+            if not has.any():
+                continue
+            first = mask.argmax(axis=1)
+            rows = np.nonzero(has)[0]
+            out.append(pd.DataFrame({
+                "doc_id": ids[lo + rows],
+                "keeper_id": ids[first[rows]],
+                "cos_sim": sims[rows, first[rows]],
+            }))
+        if not out:
+            return pd.DataFrame(
+                {"doc_id": ids[:0], "keeper_id": ids[:0],
+                 "cos_sim": np.zeros(0)})
+        return pd.concat(out, ignore_index=True)
+
+    return cells.groupBy("cell").applyInPandas(
+        _dedup_cell,
+        schema=f"doc_id {id_t}, keeper_id {id_t}, cos_sim double",
+    )

@@ -391,3 +391,65 @@ def test_ngram_contamination_planted(spark):
     assert set(out) == {1}
     assert out[1]["n_shared_ngrams"] == 2
     assert out[1]["n_bench_docs"] == 1
+
+
+def _pk(i):
+    import hashlib
+
+    return (hashlib.md5(str(i).encode()).hexdigest(), i)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup over tight planted clusters: with tau below the
+    within-cluster cosine floor, every vector except the
+    priority-minimum of its cell is dropped, every keeper outranks its
+    droppee in (md5(id), id) order, and the kept set is exactly the
+    per-cell priority minima."""
+    from ocr_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+        with_ivf_cells,
+    )
+
+    emb, _ = _planted_emb(spark)
+    cents = train_ivf_centroids(emb, "vec_id", "embedding",
+                                num_centroids=4, iters=4)
+    drops = semantic_dedup(emb, "vec_id", "embedding", tau=0.9,
+                           num_centroids=4, centroids=cents).collect()
+    cells = {
+        r["id"]: r["cell"]
+        for r in with_ivf_cells(emb, "vec_id", "embedding", 4,
+                                centroids=cents).collect()
+    }
+    keep_min = {}
+    for vid, cell in cells.items():
+        if cell not in keep_min or _pk(vid) < _pk(keep_min[cell]):
+            keep_min[cell] = vid
+    assert len(drops) == len(cells) - len(keep_min)
+    dropped = set()
+    for r in drops:
+        assert cells[r["doc_id"]] == cells[r["keeper_id"]]
+        assert _pk(r["keeper_id"]) < _pk(r["doc_id"])
+        assert r["cos_sim"] >= 0.9
+        dropped.add(r["doc_id"])
+    assert set(cells) - dropped == set(keep_min.values())
+
+
+def test_semantic_dedup_chunk_invariance_and_empty(spark):
+    """The chunked gram path is window-arithmetic-only: chunk=3 and
+    chunk=10**6 produce identical drop lists; an unreachable tau yields
+    an empty frame with the contract schema."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    emb, _ = _planted_emb(spark)
+    a = sorted(map(tuple, semantic_dedup(
+        emb, "vec_id", "embedding", tau=0.9, num_centroids=4,
+        chunk=3).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        emb, "vec_id", "embedding", tau=0.9, num_centroids=4,
+        chunk=10**6).collect()))
+    assert a == b and len(a) > 0
+    none = semantic_dedup(emb, "vec_id", "embedding", tau=1.5,
+                          num_centroids=4)
+    assert none.columns == ["doc_id", "keeper_id", "cos_sim"]
+    assert none.count() == 0

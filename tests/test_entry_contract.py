@@ -86,6 +86,7 @@ NON_VACUOUS = [
     "u4_viewers_minus_purchasers",
     "emb_neardup_pairs",
     "emb_neardup_lsh",
+    "semantic_dedup",
 ]
 
 
