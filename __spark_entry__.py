@@ -1087,6 +1087,29 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           num_centroids=16, centroids=cents)
 
 
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct 3-word-shingle cardinality via a KMV
+    bottom-k sketch (functions/sketches.py) joined against the exact
+    count, so the estimator's accuracy is part of the checked result.
+    Shingles (3.5k-27k distinct per lang at driver SFs) keep the
+    bottom-k estimator branch non-vacuous — single words here have only
+    31 distinct values, below k, which would silently test the exact
+    path alone. The sketch shuffles 8-byte hashes (map-side-combined
+    distinct), never shingle strings; the exact branch exists only to
+    audit it at driver SFs."""
+    from ocr_spark.functions.sketches import kmv_distinct
+    from ocr_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "lang", "text", n=3)
+    sketch = kmv_distinct(sh, ["id"], "shingle", k=64)
+    exact = sh.groupBy("id").agg(
+        F.countDistinct("shingle").alias("exact_distinct"))
+    return sketch.join(F.broadcast(exact), "id").select(
+        F.col("id").alias("lang"), "n_kept", "kth_hash", "est_distinct",
+        "exact_distinct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1145,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "semantic_dedup": semantic_dedup_q,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
     }
 
 
@@ -1808,6 +1832,32 @@ def _semantic_dedup_oracle(tau: float, num_centroids: int = 16,
     """
 
 
+def _sketch_distinct_tokens_oracle(k: int = 64) -> str:
+    """DuckDB twin of sketch_distinct_tokens: the shared KMV oracle
+    builder for the sketch half, plus an exact count(DISTINCT) audit
+    column joined on lang."""
+    from ocr_spark.functions.sketches import kmv_distinct_oracle_sql
+
+    shingles = r"""
+        WITH toks AS (
+          SELECT lang, string_split_regex(trim(text), '\s+') AS w
+          FROM documents
+        )
+        SELECT lang,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in generate_series(1, len(w) - 2)])) AS shingle
+        FROM toks WHERE len(w) >= 3
+    """
+    sk = kmv_distinct_oracle_sql(shingles, ["lang"], "shingle", k=k)
+    return f"""
+        SELECT sk.lang, sk.n_kept, sk.kth_hash, sk.est_distinct,
+               ex.exact_distinct
+        FROM ({sk}) sk
+        JOIN (SELECT lang, count(DISTINCT shingle) AS exact_distinct
+              FROM ({shingles}) GROUP BY lang) ex USING (lang)
+    """
+
+
 _EN = r"\b(the|a|and|of|to|for|at|is|in)\b"
 _DE = r"\b(der|die|das|und|ist|nicht|ein)\b"
 _FR = r"\b(le|la|les|et|est|une|des)\b"
@@ -2360,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_ivf_trained_topk": _ann_ivf_trained_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(SEMDEDUP_TAU),
+        "sketch_distinct_tokens": _sketch_distinct_tokens_oracle(),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).

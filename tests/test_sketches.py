@@ -1,0 +1,71 @@
+"""KMV bottom-k distinct sketch: exact-below-k path, estimator error
+bound, merge law (per-batch trim losslessness), determinism."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ocr_spark.functions.sketches import HASH_RANGE, kmv_distinct  # noqa: E402
+
+
+def _rows(spark, groups):
+    data = [
+        (g, f"{g}:v{i}")
+        for g, n in groups.items()
+        for i in range(n)
+        for _ in range(2)  # duplicates must not affect the sketch
+    ]
+    return spark.createDataFrame(data, ["grp", "val"])
+
+
+def test_kmv_exact_below_k(spark):
+    df = _rows(spark, {"small": 10, "tiny": 1})
+    out = {
+        r["grp"]: r
+        for r in kmv_distinct(df, ["grp"], "val", k=64).collect()
+    }
+    assert out["small"]["n_kept"] == 10
+    assert out["small"]["est_distinct"] == 10.0
+    assert out["tiny"]["est_distinct"] == 1.0
+
+
+def test_kmv_estimator_error_bound(spark):
+    """d=5000 distinct, k=64: the bottom-k estimator's relative error
+    concentrates around 1/sqrt(k-1) ~ 12.6%; assert a generous 4-sigma
+    band (md5 is fixed, so this is a deterministic regression pin, not
+    a flaky statistical test)."""
+    df = _rows(spark, {"big": 5000})
+    row = kmv_distinct(df, ["grp"], "val", k=64).collect()[0]
+    assert row["n_kept"] == 64
+    est = row["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.5
+    # the estimator really came from the k-th hash, not the exact path
+    assert est == round(63 * HASH_RANGE / row["kth_hash"], 3)
+
+
+def test_kmv_partial_trim_lossless(spark):
+    """Union-then-trim merge law: the per-batch top-k trim must not
+    change the sketch, under any partitioning of the input."""
+    df = _rows(spark, {"a": 500, "b": 30})
+    plain = sorted(map(tuple, kmv_distinct(
+        df, ["grp"], "val", k=16, partial_trim=False).collect()))
+    for parts in (1, 7):
+        trimmed = sorted(map(tuple, kmv_distinct(
+            df.repartition(parts), ["grp"], "val", k=16,
+            partial_trim=True).collect()))
+        assert trimmed == plain
+
+
+def test_kmv_sketch_shuffles_hashes_not_values(spark):
+    """The exchange payload is the 8-byte hash column: no raw value
+    column survives past the first projection."""
+    from ocr_spark.plans.checks import executed_plan
+
+    df = _rows(spark, {"a": 100})
+    out = kmv_distinct(df, ["grp"], "val", k=16)
+    out.collect()
+    plan = executed_plan(out)
+    assert "_h" in plan
