@@ -1110,6 +1110,32 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct")
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier trade graph (nodes =
+    customers at 2k, suppliers at 2k+1; edges = distinct (custkey,
+    suppkey) pairs from orders x lineitem — suppliers are all dangling,
+    so the uniform dangling-redistribution path is exercised every
+    iteration). 3 iterations in exact integer nano-unit arithmetic
+    (operators/graph.py) — BIT-EXACT against the unrolled DuckDB CTE
+    chain, no rounding tolerance anywhere."""
+    from ocr_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2).alias("node"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"))
+    nodes = cust.unionByName(supp)
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"))
+        .distinct()
+    )
+    return pagerank(nodes, edges, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1169,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "semantic_dedup": semantic_dedup_q,
         "sketch_distinct_tokens": sketch_distinct_tokens,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -1832,6 +1859,54 @@ def _semantic_dedup_oracle(tau: float, num_centroids: int = 16,
     """
 
 
+def _graph_pagerank_oracle(iters: int = 3) -> str:
+    """DuckDB twin of operators/graph.pagerank: the fixed iteration
+    count unrolls into dang/contrib/rank CTE triples. BIT-EXACT (no
+    rounding tolerance): every rank is a BIGINT in nano-units, every
+    scale is floor division of non-negative integers, every sum is an
+    integer sum — no floating point anywhere in either engine."""
+    from ocr_spark.operators.graph import DAMP_DEN, DAMP_NUM, UNIT
+
+    teleport = (DAMP_DEN - DAMP_NUM) * UNIT // DAMP_DEN
+    steps = []
+    for i in range(iters):
+        steps.append(f"""d{i} AS (
+          SELECT CAST(coalesce(sum(r.rank_nano), 0) AS BIGINT) AS dang
+          FROM r{i} r LEFT JOIN outdeg o USING (node)
+          WHERE o.outdeg IS NULL
+        ), c{i} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(r.rank_nano // o.outdeg) AS BIGINT) AS in_sum
+          FROM r{i} r JOIN outdeg o USING (node)
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst
+        ), r{i + 1} AS (
+          SELECT n.node,
+                 CAST({teleport} + ({DAMP_NUM} * (coalesce(c.in_sum, 0)
+                   + (SELECT dang FROM d{i}) // (SELECT n FROM params)))
+                   // {DAMP_DEN} AS BIGINT) AS rank_nano
+          FROM nodes n LEFT JOIN c{i} c USING (node)
+        )""")
+    chain = ", ".join(steps)
+    return f"""
+        WITH nodes AS (
+          SELECT 2 * c_custkey AS node FROM customer
+          UNION ALL
+          SELECT 2 * s_suppkey + 1 AS node FROM supplier
+        ), params AS (
+          SELECT count(*) AS n FROM nodes
+        ), edges AS (
+          SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), outdeg AS (
+          SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+        ), r0 AS (
+          SELECT node, CAST({UNIT} AS BIGINT) AS rank_nano FROM nodes
+        ), {chain}
+        SELECT node, rank_nano FROM r{iters}
+    """
+
+
 def _sketch_distinct_tokens_oracle(k: int = 64) -> str:
     """DuckDB twin of sketch_distinct_tokens: the shared KMV oracle
     builder for the sketch half, plus an exact count(DISTINCT) audit
@@ -2411,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_topk": _ann_ivf_trained_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(SEMDEDUP_TAU),
         "sketch_distinct_tokens": _sketch_distinct_tokens_oracle(),
+        "graph_pagerank": _graph_pagerank_oracle(),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).
