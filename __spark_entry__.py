@@ -1136,6 +1136,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, edges, iters=3)
 
 
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation (the FineWeb-Edu/DCLM pattern): the corpus
+    quality heuristic plays the expensive judge, labeling documents
+    (quality >= 0.55); a hashed-bag-of-words multinomial Naive Bayes
+    (operators/classifier.py) trains on those labels in one counting
+    aggregate and scores every document with BIGINT micro-nat
+    log-posteriors. Bit-exact DuckDB oracle — features, smoothing grid,
+    micro-nat logs, and score sums all reproduce exactly. Train accuracy
+    ~64% vs a 57% majority baseline on this corpus (the label's
+    punct/length components are invisible to bag-of-words; the planted
+    pytest shows the same code reaching ~100% when the signal is
+    lexical)."""
+    from ocr_spark.functions.textstats import quality_score
+    from ocr_spark.operators.classifier import nb_train_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (quality_score("text") >= 0.55).alias("y"),
+    )
+    out = nb_train_score(docs, "doc_id", "text", "y", num_buckets=64)
+    return out.select(
+        F.col("id").alias("doc_id"), "label", "score1", "score0", "pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1196,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": semantic_dedup_q,
         "sketch_distinct_tokens": sketch_distinct_tokens,
         "graph_pagerank": graph_pagerank,
+        "nb_quality_classifier": nb_quality_classifier,
     }
 
 
@@ -1939,6 +1964,90 @@ _FR = r"\b(le|la|les|et|est|une|des)\b"
 _PUNCT = r"[^A-Za-z0-9\s]"
 _VOUCHER = r"\b\d{4}\s*\d{4}\s*\d{4}\s*\d{4}\b"
 
+# DuckDB twin of textstats.quality_score — shared between the
+# text_quality_score oracle and every oracle that needs the judge label
+# (nb_quality_classifier).
+_QUALITY_SELECT = rf"""
+    SELECT doc_id,
+           round(
+             least((CAST(len(regexp_extract_all(lower(text), '{_EN}')) AS DOUBLE)
+                    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) / 0.25,
+                   1.0) * 0.4
+             + (1.0 - CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
+                      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+             + least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0,
+                     1.0) * 0.3,
+           4) AS quality
+    FROM documents
+"""
+
+
+def _nb_quality_classifier_oracle(num_buckets: int = 64,
+                                  thresh: float = 0.55) -> str:
+    """DuckDB twin of classifier.nb_train_score with the quality-judge
+    label: identical md5-bucket features, add-one smoothing over a
+    generated bucket grid, micro-nat-grid logs, BIGINT score sums —
+    bit-exact, no rounding tolerance."""
+    return rf"""
+        WITH qual AS ({_QUALITY_SELECT}),
+        base AS (
+          SELECT d.doc_id, trim(d.text) AS txt,
+                 CASE WHEN q.quality >= {thresh!r} THEN 1 ELSE 0 END AS y
+          FROM documents d JOIN qual q USING (doc_id)
+          WHERE length(trim(d.text)) > 0
+        ), tok AS (
+          SELECT doc_id, y,
+                 unnest(string_split_regex(txt, '\s+')) AS t
+          FROM base
+        ), feat AS (
+          SELECT doc_id, y,
+                 ('0x' || substr(md5(t), 1, 15))::BIGINT % {num_buckets}
+                   AS bucket,
+                 count(*) AS cnt
+          FROM tok GROUP BY doc_id, y, bucket
+        ), cc AS (
+          SELECT y, bucket, CAST(sum(cnt) AS BIGINT) AS c
+          FROM feat GROUP BY y, bucket
+        ), tot AS (
+          SELECT y, CAST(sum(c) + {num_buckets} AS BIGINT) AS tot
+          FROM cc GROUP BY y
+        ), grid AS (
+          SELECT y, bucket
+          FROM (SELECT DISTINCT y FROM base)
+          CROSS JOIN (SELECT unnest(generate_series(0, {num_buckets - 1}))
+                      AS bucket)
+        ), logp AS (
+          SELECT g.y, g.bucket,
+                 CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                                / t.tot) * 1000000 + 0.5) AS BIGINT) AS lp
+          FROM grid g
+          LEFT JOIN cc c ON g.y = c.y AND g.bucket = c.bucket
+          JOIN tot t ON t.y = g.y
+        ), prior AS (
+          SELECT y,
+                 CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                                / (SELECT count(*) FROM base))
+                            * 1000000 + 0.5) AS BIGINT) AS prior
+          FROM base GROUP BY y
+        ), sc AS (
+          SELECT f.doc_id, l.y AS cls,
+                 CAST(sum(f.cnt * l.lp) AS BIGINT) + any_value(p.prior)
+                   AS s
+          FROM feat f
+          JOIN logp l ON f.bucket = l.bucket
+          JOIN prior p ON p.y = l.y
+          GROUP BY f.doc_id, l.y
+        ), piv AS (
+          SELECT doc_id,
+                 max(CASE WHEN cls = 1 THEN s END) AS score1,
+                 max(CASE WHEN cls = 0 THEN s END) AS score0
+          FROM sc GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.y AS label, p.score1, p.score0,
+               CASE WHEN p.score1 >= p.score0 THEN 1 ELSE 0 END AS pred
+        FROM piv p JOIN base b USING (doc_id)
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2160,19 +2269,7 @@ def oracle_sql() -> dict[str, str]:
                    n_chars
             FROM documents
         """,
-        "text_quality_score": rf"""
-            SELECT doc_id,
-                   round(
-                     least((CAST(len(regexp_extract_all(lower(text), '{_EN}')) AS DOUBLE)
-                            / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) / 0.25,
-                           1.0) * 0.4
-                     + (1.0 - CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
-                              / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
-                     + least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0,
-                             1.0) * 0.3,
-                   4) AS quality
-            FROM documents
-        """,
+        "text_quality_score": _QUALITY_SELECT,
         "text_lang_id": rf"""
             SELECT doc_id,
                    CASE
@@ -2487,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(SEMDEDUP_TAU),
         "sketch_distinct_tokens": _sketch_distinct_tokens_oracle(),
         "graph_pagerank": _graph_pagerank_oracle(),
+        "nb_quality_classifier": _nb_quality_classifier_oracle(),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).
