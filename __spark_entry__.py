@@ -1136,6 +1136,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, edges, iters=3)
 
 
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply tokenizer completion: learn 3 BPE merges on the
+    documents vocabulary, then tokenize the corpus by joining each
+    document's words to the vocabulary segmentation (operators/bpe.py
+    `bpe_encode` — the vocab side broadcasts; the only shuffle is the
+    per-doc aggregate). Integer counts, bit-exact oracle via the shared
+    unrolled training chain."""
+    from ocr_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe_merges(docs, "text", n_merges=3)
+    out = bpe_encode(docs, "doc_id", "text", vocab)
+    return out.select(F.col("id").alias("doc_id"), "n_words",
+                      "n_bpe_tokens")
+
+
 def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based curation (the FineWeb-Edu/DCLM pattern): the corpus
     quality heuristic plays the expensive judge, labeling documents
@@ -1221,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_tokens": sketch_distinct_tokens,
         "graph_pagerank": graph_pagerank,
         "nb_quality_classifier": nb_quality_classifier,
+        "bpe_encode": bpe_encode_q,
     }
 
 
@@ -1355,14 +1372,13 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16,
     """
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
-    """Unrolled twin of operators/bpe.py learn_bpe_merges (the
-    trained-IVF device): per round, one pair-count CTE, one
-    deterministic argmax (count DESC, pair ASC), one literal
-    replace-all rewrite in the double-space symbol representation —
-    byte-identical semantics to Spark's replace."""
-    sql = r"""
-        WITH v AS (
+def _bpe_chain(n_merges: int = 3) -> tuple[str, str]:
+    """Shared unrolled BPE-training CTE chain (the trained-IVF device):
+    per round, one pair-count CTE, one deterministic argmax (count
+    DESC, pair ASC), one literal replace-all rewrite in the
+    double-space symbol representation — byte-identical semantics to
+    Spark's replace. Returns (with_body, final_cte_name)."""
+    sql = r"""v AS (
           SELECT word, count(*) AS freq
           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
                 FROM documents)
@@ -1391,12 +1407,43 @@ def _bpe_oracle(n_merges: int = 3) -> str:
           FROM {prev}
         )"""
         prev = f"s{i}"
-    sql += f"""
+    return sql, prev
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """DuckDB twin of learn_bpe_merges' vocab output."""
+    chain, prev = _bpe_chain(n_merges)
+    return f"""
+        WITH {chain}
         SELECT word, freq, replace(syms, '  ', ' ') AS tokens,
                CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
         FROM {prev}
     """
-    return sql
+
+
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    """DuckDB twin of operators/bpe.bpe_encode: re-derive the merge
+    table with the shared training chain, tokenize the VOCABULARY, and
+    join each document's words to their segmentation — integer counts,
+    zero tolerance."""
+    chain, prev = _bpe_chain(n_merges)
+    return rf"""
+        WITH {chain}, vocab AS (
+          SELECT word,
+                 CAST(len(string_split(syms, '  ')) AS BIGINT)
+                   AS n_tokens
+          FROM {prev}
+        ), dw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN vocab USING (word)
+        WHERE length(word) > 0
+        GROUP BY doc_id
+    """
 
 
 def _pii_scrub_oracle() -> str:
@@ -2585,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_tokens": _sketch_distinct_tokens_oracle(),
         "graph_pagerank": _graph_pagerank_oracle(),
         "nb_quality_classifier": _nb_quality_classifier_oracle(),
+        "bpe_encode": _bpe_encode_oracle(3),
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).

@@ -136,3 +136,40 @@ def learn_bpe_merges(
     # let the single downstream evaluation recompute it.
     vocab.unpersist()
     return merges, out
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: per-document BPE
+    token counts. Returns (id, n_words, n_bpe_tokens).
+
+    The scale trick mirrors training: the SEGMENTATION happens on the
+    vocabulary (already materialized by `learn_bpe_merges` as
+    `n_tokens` per word — Zipf-small), and the corpus pass is a plain
+    word-explode joined to that table. At 100 TB the vocab side
+    broadcasts (a few million words regardless of corpus size), so the
+    only shuffle is the per-document aggregate, which combines
+    map-side. Every corpus word appears in the vocab by construction
+    (trained on the same corpus), so the inner join drops nothing;
+    whitespace-only docs produce no row, matching the oracle."""
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    seg = vocab.select("word", "n_tokens")
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+    )

@@ -72,3 +72,31 @@ def test_merge_count_is_frequency_weighted(spark):
     )
     merges, _ = learn_bpe_merges(docs, "text", n_merges=1)
     assert merges == [(1, "z z", 4)]
+
+
+def test_encode_counts_match_vocab_segmentation(spark):
+    """bpe_encode: per-doc token counts equal the sum over the doc's
+    words of each word's vocab segmentation length; more merges never
+    increase a document's token count; whitespace docs vanish."""
+    from ocr_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab"), (3, "   "), (4, "aa aa aa aa")],
+        ["doc_id", "text"],
+    )
+    _, v0 = learn_bpe_merges(docs, "text", n_merges=0)
+    _, v2 = learn_bpe_merges(docs, "text", n_merges=2)
+    seg0 = {r["word"]: r["n_tokens"] for r in v0.collect()}
+    seg2 = {r["word"]: r["n_tokens"] for r in v2.collect()}
+    out0 = {r["id"]: r for r in
+            bpe_encode(docs, "doc_id", "text", v0).collect()}
+    out2 = {r["id"]: r for r in
+            bpe_encode(docs, "doc_id", "text", v2).collect()}
+    assert set(out0) == {1, 2, 4}  # doc 3 is whitespace-only
+    assert out0[1]["n_bpe_tokens"] == 2 * seg0["aa"] + seg0["ab"]
+    assert out2[1]["n_bpe_tokens"] == 2 * seg2["aa"] + seg2["ab"]
+    for d in (1, 2, 4):
+        assert out2[d]["n_bpe_tokens"] <= out0[d]["n_bpe_tokens"]
+        assert out2[d]["n_words"] == out0[d]["n_words"]
+    # after 2 merges 'aa' is one token
+    assert seg2["aa"] == 1 and out2[4]["n_bpe_tokens"] == 4
