@@ -194,3 +194,40 @@ def test_decontamination_probe_is_broadcast(spark):
     shuffled against the small benchmark."""
     df = entry_mod.decontaminate_ngrams(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+def test_semantic_dedup_shuffles_only_on_cell(spark):
+    """SemDeDup's only shuffle key is the quantizer cell: vectors move
+    once into their cell group. Any Exchange on another key means the
+    pair pruning drifted off the cell partitioning."""
+    df = entry_mod.semantic_dedup_q(spark, SF_DIR)
+    plan = executed_plan(df)
+    parts = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert parts and all("cell" in l for l in parts), plan
+
+
+def test_kmv_sketch_two_exchanges(spark):
+    """KMV core: exchange 1 finishes the map-side-combined (group, hash)
+    dedup, exchange 2 regroups by group alone for the bottom-k window;
+    the final aggregate must reuse the window's partitioning (a third
+    exchange means the agg key drifted)."""
+    from ocr_spark.functions.sketches import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = kmv_distinct(docs, ["lang"], "text", k=16)
+    assert exchange_count(out) == 2, executed_plan(out)
+
+
+def test_bpe_encode_vocab_join_is_broadcast(spark):
+    """Corpus tokenization must broadcast the Zipf-small vocab
+    segmentation — a shuffle join here would re-shuffle the whole
+    corpus word stream at 100 TB."""
+    df = entry_mod.bpe_encode_q(spark, SF_DIR)
+    assert has_broadcast_join(df), executed_plan(df)
+
+
+def test_nb_classifier_model_join_is_broadcast(spark):
+    """NB scoring joins the 2 x buckets model and the 2-row prior back
+    to the feature table: both must broadcast."""
+    df = entry_mod.nb_quality_classifier(spark, SF_DIR)
+    assert has_broadcast_join(df), executed_plan(df)
