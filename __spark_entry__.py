@@ -1152,6 +1152,30 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_bpe_tokens")
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy in exact integer
+    micro-nats (operators/lm.py char_entropy): each c*ln(c) term is
+    grid-pinned before the BIGINT sum, so the oracle matches with zero
+    tolerance."""
+    from ocr_spark.operators.lm import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 mixture sampling over the source column
+    (operators/curate.py temperature_mixture_sample): quotas
+    proportional to sqrt(source frequency) — the data-mixing primitive
+    that flattens source skew for LM training. sqrt is IEEE
+    correctly-rounded, weights integer-grid-pinned, quota a floor
+    division: bit-exact oracle."""
+    from ocr_spark.operators.curate import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture_sample(docs, "source", "doc_id", total=600)
+    return out.select("doc_id", "source", "sample_rank", "quota")
+
+
 def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based curation (the FineWeb-Edu/DCLM pattern): the corpus
     quality heuristic plays the expensive judge, labeling documents
@@ -1238,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "nb_quality_classifier": nb_quality_classifier,
         "bpe_encode": bpe_encode_q,
+        "text_char_entropy": text_char_entropy,
+        "sample_mixture": sample_mixture,
     }
 
 
@@ -2633,6 +2659,50 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph_pagerank_oracle(),
         "nb_quality_classifier": _nb_quality_classifier_oracle(),
         "bpe_encode": _bpe_encode_oracle(3),
+        "text_char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents
+            ), f AS (
+              SELECT doc_id, ch, count(*) AS c
+              FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+            ), per AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_chars_counted,
+                     CAST(sum(CAST(floor(c * ln(c) * 1000000 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS t
+              FROM f GROUP BY doc_id
+            )
+            SELECT doc_id, n_chars_counted,
+                   CAST(floor(ln(n_chars_counted) * 1000000 + 0.5)
+                        AS BIGINT)
+                   - t // n_chars_counted AS entropy_micro
+            FROM per
+        """,
+        "sample_mixture": """
+            WITH f AS (
+              SELECT source, count(*) AS f FROM documents GROUP BY source
+            ), w AS (
+              SELECT source,
+                     CAST(floor(sqrt(f) * 1000000 + 0.5) AS BIGINT) AS w
+              FROM f
+            ), q AS (
+              SELECT source,
+                     CAST((600 * w) // (SELECT CAST(sum(w) AS BIGINT)
+                                        FROM w) AS BIGINT) AS quota
+              FROM w
+            ), r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS sample_rank
+              FROM documents
+            )
+            SELECT r.doc_id, r.source, r.sample_rank, q.quota
+            FROM r JOIN q USING (source)
+            WHERE r.sample_rank <= q.quota
+        """,
         # Rendered-media pipeline: Spark really renders + crops + OCRs;
         # the oracle recomputes the result from text geometry (the
         # renderer/recognizer pair is exactly invertible).

@@ -323,3 +323,58 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total: int,
+    unit: int = 10**6,
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (the GPT-3 / DoReMi-style
+    data-mixing primitive at temperature T = 2): per-group quotas
+    proportional to sqrt(group frequency), flattening the source
+    distribution toward the mix actually used for LM training, then the
+    deterministic (md5(key), key) within-group selection of
+    `stratified_sample`.
+
+    Cross-engine exactness: sqrt is IEEE correctly-rounded on every
+    engine (unlike pow — which is why the temperature is fixed at 2
+    rather than a free alpha), each weight is pinned to an integer grid
+    ``floor(sqrt(f) * unit + 0.5)`` before the normalizing sum, and the
+    quota is a BIGINT floor division ``(total * w) div W``. Quotas sum
+    to <= total (floor rounding); no largest-remainder top-up, so a
+    group's quota depends only on its own frequency and the scalar W —
+    stable under group additions, and oracle-checkable row for row.
+
+    Scale shape: frequencies are one map-side-combined aggregate; the
+    quota table is group-cardinality-sized and BROADCASTS; selection is
+    the same single-shuffle windowed rank as stratified_sample.
+    Returns the sampled rows + (sample_rank, quota).
+    """
+    from pyspark.sql import Window
+
+    freqs = df.groupBy(group_col).agg(F.count("*").alias("f"))
+    weights = freqs.select(
+        group_col,
+        F.floor(
+            F.sqrt(F.col("f").cast("double")) * F.lit(unit) + F.lit(0.5)
+        ).cast("long").alias("w"),
+    )
+    big_w = weights.agg(F.sum("w")).collect()[0][0]
+    if not big_w:
+        raise ValueError("temperature_mixture_sample: empty input")
+    quotas = weights.select(
+        group_col,
+        F.expr(f"({total} * w) div {int(big_w)}").cast("long")
+        .alias("quota"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("sample_rank") <= F.col("quota"))
+    )

@@ -176,3 +176,50 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "word", "score_micro")
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy in exact integer
+    micro-nats — the compressibility-style quality signal (low-entropy
+    documents are repetitive boilerplate/filler; Gopher's repetition
+    family measures the same thing at word level).
+
+    H = ln(n) - (1/n) * sum_c c_count * ln(c_count). Each
+    ``c * ln(c)`` term is pinned to the micro-nat grid BEFORE the sum
+    (``floor(x * 1e6 + 0.5)``), so the per-document reduction is a
+    BIGINT sum (associative-exact, any engine); the final 1/n is a
+    floor division. Truncation error < 2 micro-nats, 7 orders below
+    signal. Returns (doc_id, n_chars_counted, entropy_micro).
+
+    Scale shape: one shuffle on (doc, char) with map-side combine
+    (alphabet-bounded partial states), then a per-doc aggregate that
+    reuses the doc-prefixed partitioning. Empty documents produce no
+    row (ln(0) has no meaning), matching the oracle.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    term = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(MICRO) + F.lit(0.5)
+    ).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.sum(term).alias("t"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_counted",
+        (
+            _micro_ln(F.col("n_chars_counted").cast("double"))
+            - F.expr("t div n_chars_counted")
+        ).cast("long").alias("entropy_micro"),
+    )

@@ -232,3 +232,33 @@ def test_pack_sequences_arithmetic(spark):
     # doc5: tokens 1544..1547 -> pack 3, offset 1544-1536=8
     assert (out[5]["start_pack"], out[5]["end_pack"],
             out[5]["pack_offset"]) == (3, 3, 8)
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    """T=2 mixture: quotas proportional to sqrt(frequency), so a rare
+    source's sampling RATE exceeds a common source's (the flattening
+    property), while absolute quotas still order by frequency. Selection
+    is the deterministic md5 permutation (two runs identical)."""
+    rows = [(i, "common") for i in range(400)] + [
+        (1000 + i, "rare") for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    from ocr_spark.operators.curate import temperature_mixture_sample
+
+    out = temperature_mixture_sample(df, "source", "doc_id", total=100)
+    got = out.groupBy("source").count().collect()
+    n = {r["source"]: r["count"] for r in got}
+    quota = {r["source"]: r["quota"] for r in out.collect()}
+    # integer twin of the quota formula
+    import math
+
+    w_common = math.floor(math.sqrt(400) * 10**6 + 0.5)
+    w_rare = math.floor(math.sqrt(16) * 10**6 + 0.5)
+    tot = w_common + w_rare
+    assert quota["common"] == (100 * w_common) // tot == n["common"]
+    assert quota["rare"] == (100 * w_rare) // tot == n["rare"]
+    # flattening: rare rate (n/16) > common rate (n/400)
+    assert n["rare"] / 16 > n["common"] / 400
+    again = temperature_mixture_sample(df, "source", "doc_id", total=100)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect()))

@@ -70,3 +70,22 @@ def test_lm_plans_stay_jvm_side(spark):
         plan = executed_plan(df)
         assert "EvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_char_entropy_known_values(spark):
+    """H("aaaa") = 0; H("ab") = ln 2; H of a 4-symbol uniform string =
+    ln 4 — all in micro-nats with < 2 micro-nats truncation."""
+    import math
+
+    from ocr_spark.operators.lm import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd" * 5), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}  # empty doc produces no row
+    assert out[1]["entropy_micro"] == 0
+    assert abs(out[2]["entropy_micro"] - round(math.log(2) * 1e6)) <= 2
+    assert abs(out[3]["entropy_micro"] - round(math.log(4) * 1e6)) <= 2
+    assert out[3]["n_chars_counted"] == 20
