@@ -1152,6 +1152,19 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_bpe_tokens")
 
 
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring detection (Lee et al. 2022): maximal
+    cross-document word runs of >= 8 tokens via k-gram postings + the
+    gaps-and-islands diagonal merge (operators/dedup.py
+    shared_substring_runs). Non-vacuous at every driver SF (the corpus
+    plants exact duplicates: ~1.2k-11.5k k-gram pair hits). Pure
+    integer/string plan — bit-exact DuckDB oracle."""
+    from ocr_spark.operators.dedup import shared_substring_runs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_substring_runs(docs, "doc_id", "text", k=8, max_df=64)
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy in exact integer
     micro-nats (operators/lm.py char_entropy): each c*ln(c) term is
@@ -1264,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": bpe_encode_q,
         "text_char_entropy": text_char_entropy,
         "sample_mixture": sample_mixture,
+        "dedup_substring_runs": dedup_substring_runs,
     }
 
 
@@ -2659,6 +2673,40 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph_pagerank_oracle(),
         "nb_quality_classifier": _nb_quality_classifier_oracle(),
         "bpe_encode": _bpe_encode_oracle(3),
+        "dedup_substring_runs": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(w[i:i+7], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+              WHERE len(w) >= 8
+            ), ok AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS gram_df
+                FROM g GROUP BY gram
+              ) WHERE gram_df <= 64
+            ), gg AS (
+              SELECT g.* FROM g JOIN ok USING (gram)
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM gg a JOIN gg b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ), r AS (
+              SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                     pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, pa - pb
+                       ORDER BY pa) AS grp
+              FROM p
+            )
+            SELECT doc_a, doc_b,
+                   CAST(min(pa) AS BIGINT) AS start_a,
+                   CAST(min(pb) AS BIGINT) AS start_b,
+                   CAST(count(*) + 7 AS BIGINT) AS match_len
+            FROM r GROUP BY doc_a, doc_b, diag, grp
+        """,
         "text_char_entropy": """
             WITH ch AS (
               SELECT doc_id, unnest(string_split(text, '')) AS ch

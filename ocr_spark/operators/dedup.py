@@ -512,3 +512,81 @@ def ngram_contamination(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def shared_substring_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int = 64,
+) -> DataFrame:
+    """Maximal shared word-substring runs between document pairs — the
+    exact-substring dedup primitive of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), expressed Spark-first
+    instead of via a monolithic suffix array: every k-gram posting
+    (gram, doc, pos) meets its matches through ONE equi-join on the
+    gram, and maximal runs fall out of the classic gaps-and-islands
+    trick — positions sharing a (pair, pos_a - pos_b) diagonal with
+    consecutive pos_a belong to one shared substring, so grouping by
+    ``pos_a - row_number()`` per diagonal merges them without any
+    iterative stitching.
+
+    Returns (doc_a, doc_b, start_a, start_b, match_len) with doc_a <
+    doc_b, 1-based token positions, and match_len in TOKENS (island
+    size + k - 1). A pair sharing two disjoint substrings yields two
+    rows; runs shorter than k tokens are invisible by construction
+    (k is the detection threshold, as in the paper).
+
+    Scale shape: postings shuffle once on the gram; the self-join and
+    the df-cap aggregate reuse that partitioning. `max_df` drops grams
+    appearing in more than max_df documents BEFORE the join — the
+    paper's own mitigation for boilerplate n-grams whose posting lists
+    would otherwise square. The cap is a recall bound, not a silent
+    truncation: production callers should count the dropped grams
+    (one aggregate on the df table) and surface it; at the driver SFs
+    the corpus max df is 4, so max_df=64 drops nothing. The island
+    window partitions by (pair, diagonal) — key cardinality is the
+    match volume, not the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"),
+    ).filter(F.size("w") >= k)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - k + 1),
+                lambda i: F.concat_ws(" ", F.slice("w", i, k)),
+            )
+        ).alias("idx", "gram"),
+    ).select("id", (F.col("idx") + 1).alias("pos"), "gram")
+    ok = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("gram_df"))
+        .filter(F.col("gram_df") <= max_df)
+        .select("gram")
+    )
+    gg = grams.join(ok, "gram")
+    a = gg.select(F.col("id").alias("doc_a"), F.col("pos").alias("pa"),
+                  "gram")
+    b = gg.select(F.col("id").alias("doc_b"), F.col("pos").alias("pb"),
+                  "gram")
+    pairs = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = pairs.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "grp", F.col("pa") - F.row_number().over(win)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+            (F.count("*") + k - 1).cast("long").alias("match_len"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
+    )

@@ -453,3 +453,44 @@ def test_semantic_dedup_chunk_invariance_and_empty(spark):
                           num_centroids=4)
     assert none.columns == ["doc_id", "keeper_id", "cos_sim"]
     assert none.count() == 0
+
+
+def test_substring_runs_planted(spark):
+    """A planted 12-token shared run yields ONE maximal row with exact
+    start positions and length; two disjoint shared runs yield two
+    rows; an unshared doc yields none."""
+    from ocr_spark.operators.dedup import shared_substring_runs
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    other = " ".join(f"t{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, "p0 p1 " + shared + " p2"),
+            (2, "q0 " + shared + " q1 q2 q3 " + other),
+            (3, other + " r0"),
+            (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        map(tuple, shared_substring_runs(
+            docs, "doc_id", "text", k=8).collect())
+    )
+    # (1,2): shared at a_pos 3 (after p0 p1), b_pos 2 (after q0), len 12
+    # (2,3): other at doc2 pos 17 (q0 + 12 shared + q1 q2 q3), doc3 pos 1
+    assert rows == [(1, 2, 3, 2, 12), (2, 3, 17, 1, 9)]
+
+
+def test_substring_runs_df_cap_drops_hot_grams(spark):
+    """A gram present in more docs than max_df is excluded before the
+    join (the Lee et al. boilerplate mitigation)."""
+    from ocr_spark.operators.dedup import shared_substring_runs
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], ["doc_id", "text"]
+    )
+    assert shared_substring_runs(
+        docs, "doc_id", "text", k=8, max_df=4).count() == 0
+    assert shared_substring_runs(
+        docs, "doc_id", "text", k=8, max_df=5).count() == 10  # C(5,2)
