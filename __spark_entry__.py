@@ -1165,6 +1165,20 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_substring_runs(docs, "doc_id", "text", k=8, max_df=64)
 
 
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 part two: rewrite documents with duplicated
+    substrings cut (operators/dedup.py trim_duplicate_substrings —
+    lowest doc id keeps its copy, higher docs cut, overlaps merged by
+    the island trick, order-preserving reassembly). Bit-exact oracle
+    shares the runs CTE chain; exact-duplicate docs come back with
+    trimmed_text = ''."""
+    from ocr_spark.operators.dedup import trim_duplicate_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return trim_duplicate_substrings(docs, "doc_id", "text", k=8,
+                                     max_df=64)
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy in exact integer
     micro-nats (operators/lm.py char_entropy): each c*ln(c) term is
@@ -1278,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": text_char_entropy,
         "sample_mixture": sample_mixture,
         "dedup_substring_runs": dedup_substring_runs,
+        "dedup_substring_trim": dedup_substring_trim,
     }
 
 
@@ -2019,6 +2034,40 @@ def _graph_pagerank_oracle(iters: int = 3) -> str:
     """
 
 
+# Shared CTE chain for the exact-substring family (Lee et al. 2022):
+# k=8 gram postings, df-cap 64, pair diagonals ending in CTE `r` whose
+# (doc_a, doc_b, diag, grp) groups are the maximal runs.
+_SUBSTRING_RUNS_CHAIN = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ), ok AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS gram_df
+        FROM g GROUP BY gram
+      ) WHERE gram_df <= 64
+    ), gg AS (
+      SELECT g.* FROM g JOIN ok USING (gram)
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb
+      FROM gg a JOIN gg b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb
+               ORDER BY pa) AS grp
+      FROM p
+    )
+"""
+
+
 def _sketch_distinct_tokens_oracle(k: int = 64) -> str:
     """DuckDB twin of sketch_distinct_tokens: the shared KMV oracle
     builder for the sketch half, plus an exact count(DISTINCT) audit
@@ -2673,39 +2722,62 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph_pagerank_oracle(),
         "nb_quality_classifier": _nb_quality_classifier_oracle(),
         "bpe_encode": _bpe_encode_oracle(3),
-        "dedup_substring_runs": r"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-              FROM documents
-            ), g AS (
-              SELECT doc_id, i AS pos,
-                     array_to_string(w[i:i+7], ' ') AS gram
-              FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
-              WHERE len(w) >= 8
-            ), ok AS (
-              SELECT gram FROM (
-                SELECT gram, count(DISTINCT doc_id) AS gram_df
-                FROM g GROUP BY gram
-              ) WHERE gram_df <= 64
-            ), gg AS (
-              SELECT g.* FROM g JOIN ok USING (gram)
-            ), p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.pos AS pa, b.pos AS pb
-              FROM gg a JOIN gg b
-                ON a.gram = b.gram AND a.doc_id < b.doc_id
-            ), r AS (
-              SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-                     pa - row_number() OVER (
-                       PARTITION BY doc_a, doc_b, pa - pb
-                       ORDER BY pa) AS grp
-              FROM p
-            )
+        "dedup_substring_runs": _SUBSTRING_RUNS_CHAIN + """
             SELECT doc_a, doc_b,
                    CAST(min(pa) AS BIGINT) AS start_a,
                    CAST(min(pb) AS BIGINT) AS start_b,
                    CAST(count(*) + 7 AS BIGINT) AS match_len
             FROM r GROUP BY doc_a, doc_b, diag, grp
+        """,
+        "dedup_substring_trim": _SUBSTRING_RUNS_CHAIN + """
+            , runs AS (
+              SELECT doc_b AS doc_id,
+                     min(pb) AS s,
+                     min(pb) + count(*) + 7 - 1 AS e
+              FROM r GROUP BY doc_a, doc_b, diag, grp
+            ), o AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+              FROM runs
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN pmax IS NULL OR s > pmax
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+              FROM o
+            ), m AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM isl GROUP BY doc_id, gid
+            ), dpos AS (
+              SELECT doc_id, i AS pos, w[i] AS tok
+              FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+              WHERE doc_id IN (SELECT doc_id FROM m)
+            ), cut AS (
+              SELECT DISTINCT d.doc_id, d.pos
+              FROM dpos d JOIN m ON m.doc_id = d.doc_id
+               AND d.pos BETWEEN m.s AND m.e
+            ), keep AS (
+              SELECT d.doc_id, d.pos, d.tok
+              FROM dpos d LEFT JOIN cut c
+                ON d.doc_id = c.doc_id AND d.pos = c.pos
+              WHERE c.pos IS NULL
+            ), stats AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+              FROM cut GROUP BY doc_id
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+              FROM keep GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   coalesce(a.n_kept, 0) + s.n_removed
+                     AS n_tokens_before,
+                   s.n_removed,
+                   coalesce(a.trimmed_text, '') AS trimmed_text
+            FROM stats s LEFT JOIN agg a USING (doc_id)
         """,
         "text_char_entropy": """
             WITH ch AS (

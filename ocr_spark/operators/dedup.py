@@ -590,3 +590,104 @@ def shared_substring_runs(
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
     )
+
+
+def trim_duplicate_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int = 64,
+) -> DataFrame:
+    """The second half of Lee et al. 2022: REWRITE documents with their
+    duplicated substrings cut. Composition of `shared_substring_runs`
+    with an interval-merge and an order-preserving reassembly.
+
+    Keep policy (deterministic, engine-neutral): the lowest doc id
+    sharing a run keeps its copy; every HIGHER doc cuts the tokens
+    covered by any run against a lower doc (runs always have doc_a <
+    doc_b, so the cut side is doc_b). Overlapping cut intervals merge
+    via the running-max island trick — the same gaps-and-islands device
+    as the run detection, now over token intervals. A chain A<B<C where
+    B and C both duplicate A means both B and C cut (only the global
+    minimum keeps the span) — one copy survives, the paper's goal.
+
+    Returns ONLY rewritten docs: (doc_id, n_tokens_before, n_removed,
+    trimmed_text) — trimmed_text is '' for full duplicates.
+
+    Scale shape: inherits the postings shuffle from the run detection;
+    the interval merge windows over (doc, match-volume) keys; the
+    reassembly re-tokenizes ONLY the cut documents (semi-join pruned)
+    and its sort_array(collect_list(struct(pos, tok))) is the engine's
+    standard order-preserving rebuild (A1/A5 device). Cut volume, not
+    corpus volume, drives every post-detection stage.
+    """
+    from pyspark.sql import Window
+
+    runs = shared_substring_runs(df, id_col, text_col, k, max_df)
+    iv = runs.select(
+        F.col("doc_b").alias("id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = iv.withColumn("pmax", F.max("e").over(w_prev)).withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = isl.groupBy("id", "gid").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    cut_docs = merged.select("id").distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"),
+    ).join(cut_docs, "id")
+    dpos = toks.select(
+        "id", F.posexplode("w").alias("idx", "tok")
+    ).select("id", (F.col("idx") + 1).alias("pos"), "tok")
+    ivs = merged.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    tagged = dpos.join(ivs, "id").withColumn(
+        "is_cut",
+        F.exists(
+            "ivs",
+            lambda i: (F.col("pos") >= i["s"]) & (F.col("pos") <= i["e"]),
+        ),
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens_before"),
+            F.sum(F.col("is_cut").cast("long")).cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_cut"),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+            ).alias("trimmed_text"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_tokens_before",
+                "n_removed", "trimmed_text")
+    )

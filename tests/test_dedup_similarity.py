@@ -494,3 +494,50 @@ def test_substring_runs_df_cap_drops_hot_grams(spark):
         docs, "doc_id", "text", k=8, max_df=4).count() == 0
     assert shared_substring_runs(
         docs, "doc_id", "text", k=8, max_df=5).count() == 10  # C(5,2)
+
+
+def test_substring_trim_planted(spark):
+    """Trim: lowest doc keeps its copy; higher docs cut; overlapping
+    cut intervals merge; order of surviving tokens is preserved."""
+    from ocr_spark.operators.dedup import trim_duplicate_substrings
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    other = " ".join(f"t{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, "p0 p1 " + shared + " p2"),
+            (2, "q0 " + shared + " q1 q2 q3 " + other),
+            (3, other + " r0"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in trim_duplicate_substrings(
+        docs, "doc_id", "text", k=8).collect()}
+    assert set(out) == {2, 3}  # doc 1 is the lowest sharer everywhere
+    assert out[2]["n_removed"] == 12
+    assert out[2]["trimmed_text"] == "q0 q1 q2 q3 " + other
+    assert out[3]["n_removed"] == 9
+    assert out[3]["trimmed_text"] == "r0"
+
+
+def test_substring_trim_merges_overlaps_and_full_dup(spark):
+    """Two overlapping runs against different lower docs merge into one
+    cut interval (no double counting); an exact duplicate trims to ''."""
+    from ocr_spark.operators.dedup import trim_duplicate_substrings
+
+    a = " ".join(f"a{i}" for i in range(10))   # tokens 1-10 of doc 3
+    b = " ".join(f"a{i}" for i in range(4, 14))  # tokens 5-14 of doc 3
+    doc3 = " ".join(f"a{i}" for i in range(14)) + " z0"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, doc3), (4, a)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in trim_duplicate_substrings(
+        docs, "doc_id", "text", k=8).collect()}
+    # doc 3 cuts [1,10] (vs doc1) and [5,14] (vs doc2) -> merged [1,14]
+    assert out[3]["n_removed"] == 14
+    assert out[3]["trimmed_text"] == "z0"
+    # doc 4 is an exact duplicate of doc 1 -> fully cut
+    assert out[4]["n_removed"] == 10
+    assert out[4]["trimmed_text"] == ""
+    assert 1 not in out
