@@ -78,10 +78,15 @@ def pagerank(
     try:
         for _ in range(iters):
             with_deg = ranks.join(outdeg, "node", "left")
+            # dangling mass stays IN the plan as a broadcast 1-row
+            # aggregate — zero driver round-trips inside an iteration
+            # (the only per-round action is the persist materialization)
             dang = (
                 with_deg.filter(F.col("outdeg").isNull())
-                .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)))
-                .collect()[0][0]
+                .agg(
+                    F.coalesce(F.sum("rank_nano"), F.lit(0))
+                    .cast("long").alias("dang")
+                )
             )
             contribs = (
                 with_deg.filter(F.col("outdeg").isNotNull())
@@ -93,17 +98,17 @@ def pagerank(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("contrib").alias("in_sum"))
             )
-            base = int(dang) // n_nodes
             new_ranks = (
                 nodes.select("node")
                 .join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
                     (
                         F.lit(teleport)
                         + F.expr(
                             f"({damp_num} * (coalesce(in_sum, 0) "
-                            f"+ {base})) div {damp_den}"
+                            f"+ dang div {n_nodes})) div {damp_den}"
                         )
                     ).cast("long").alias("rank_nano"),
                 )
