@@ -830,6 +830,21 @@ def a9_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.count("*").alias("n"), *aggs)
 
 
+def a10_histogram_percentiles(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Percentiles from the sparse fixed-bin histogram sketch
+    (functions/sketches.py histogram_percentiles) — the mergeable,
+    one-aggregate 100 TB twin of a9's exact percentile_cont (error
+    bounded by the bin width; a9 is the exact audit counterpart in the
+    same suite). Integer rank targets + one IEEE interpolation, so the
+    DuckDB oracle matches at 6 decimals with no summation-order
+    freedom."""
+    from ocr_spark.functions.sketches import histogram_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_percentiles(ev, ["event_type"], "value", width=1.0)
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (curation before a corpus ships to training):
     emails / card numbers / phone numbers -> typed tokens, all JVM-side
@@ -1293,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": sample_mixture,
         "dedup_substring_runs": dedup_substring_runs,
         "dedup_substring_trim": dedup_substring_trim,
+        "a10_histogram_percentiles": a10_histogram_percentiles,
     }
 
 
@@ -2778,6 +2794,44 @@ def oracle_sql() -> dict[str, str]:
                    s.n_removed,
                    coalesce(a.trimmed_text, '') AS trimmed_text
             FROM stats s LEFT JOIN agg a USING (doc_id)
+        """,
+        "a10_histogram_percentiles": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(floor(value / 1.0) AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM events GROUP BY event_type, bin
+            ), b2 AS (
+              SELECT event_type, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY bin) - cnt AS cumb
+              FROM h
+            ), tot AS (
+              SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+              FROM h GROUP BY event_type
+            ), p(pct_num, pct_den) AS (
+              VALUES (50, 100), (90, 100), (99, 100)
+            ), tg AS (
+              SELECT t.event_type, p.pct_num, p.pct_den,
+                     (p.pct_num * t.n + p.pct_den - 1) // p.pct_den AS t
+              FROM tot t CROSS JOIN p
+            ), cand AS (
+              SELECT tg.event_type, tg.pct_num, tg.pct_den, tg.t,
+                     b2.bin, b2.cumb, b2.cnt,
+                     row_number() OVER (
+                       PARTITION BY tg.event_type, tg.pct_num
+                       ORDER BY b2.bin) AS rn
+              FROM tg JOIN b2 ON b2.event_type = tg.event_type
+                             AND b2.cum >= tg.t
+            )
+            SELECT event_type,
+                   CAST(pct_num AS BIGINT) AS pct_num,
+                   CAST(pct_den AS BIGINT) AS pct_den,
+                   round(bin * 1.0 + 1.0 * (t - cumb) / cnt, 6)
+                     AS est_value
+            FROM cand WHERE rn = 1
         """,
         "text_char_entropy": """
             WITH ch AS (

@@ -131,3 +131,68 @@ def kmv_distinct_oracle_sql(
         FROM kept WHERE rn <= {k}
         GROUP BY {g}
     """
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[tuple[int, int]] = ((50, 100), (90, 100),
+                                          (99, 100)),
+    width: float = 1.0,
+) -> DataFrame:
+    """Percentile estimates from a sparse fixed-width histogram sketch —
+    the 100 TB twin of the exact percentile aggregate (a9): exact
+    percentile_cont needs a per-group sort of every value; the histogram
+    needs ONE map-side-combined count per (group, bin) and is mergeable
+    by addition (bins are value-anchored, so shards/snapshots combine
+    exactly — the property t-digest buys with far more machinery, at
+    the cost of a fixed resolution `width`).
+
+    Estimator (deterministic, both engines): rank target t =
+    ceil(p*n) computed in INTEGER arithmetic ((num*n + den - 1) div
+    den); the first bin whose cumulative count reaches t holds the
+    percentile; estimate = bin*width + width*(t - cum_before)/cnt —
+    linear interpolation within the bin, error bounded by `width`.
+    Returns (group_cols..., pct_num, pct_den, est_value) with
+    est_value rounded to 6.
+
+    Scale shape: the (group, bin) aggregate combines map-side (bins per
+    mapper bounded by value range / width, not row count); the
+    cumulative window and first-bin pick partition by group and reuse
+    one shuffle; the percentile list is a literal cross join (tiny).
+    """
+    g = list(group_cols)
+    spark = df.sparkSession
+    binc = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    hist = (
+        df.select(*g, binc.alias("bin"))
+        .groupBy(*g, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = W.partitionBy(*g).orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0)
+    bins = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "cumb", F.col("cum") - F.col("cnt"))
+    tot = hist.groupBy(*g).agg(F.sum("cnt").alias("n"))
+    pcts = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in percentiles],
+        "pct_num long, pct_den long",
+    )
+    targets = tot.crossJoin(F.broadcast(pcts)).withColumn(
+        "t",
+        F.expr("(pct_num * n + pct_den - 1) div pct_den").cast("long"),
+    )
+    cand = targets.join(bins, g).filter(F.col("cum") >= F.col("t"))
+    first = cand.groupBy(*g, "pct_num", "pct_den", "t").agg(
+        F.min(F.struct("bin", "cumb", "cnt")).alias("b")
+    )
+    est = (
+        F.col("b.bin").cast("double") * F.lit(width)
+        + F.lit(width)
+        * (F.col("t") - F.col("b.cumb")).cast("double")
+        / F.col("b.cnt").cast("double")
+    )
+    return first.select(
+        *g, "pct_num", "pct_den", F.round(est, 6).alias("est_value")
+    )

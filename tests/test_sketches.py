@@ -69,3 +69,46 @@ def test_kmv_sketch_shuffles_hashes_not_values(spark):
     out.collect()
     plan = executed_plan(out)
     assert "_h" in plan
+
+
+def test_histogram_percentiles_error_bound_and_merge(spark):
+    """Estimates sit within one bin width of the exact percentile, and
+    the sketch is mergeable: the histogram of a union equals the sum of
+    histograms, so percentiles from pre-split data match the whole."""
+    import random
+
+    from ocr_spark.functions.sketches import histogram_percentiles
+
+    rng = random.Random(9)
+    vals = [round(rng.uniform(0, 100), 2) for _ in range(2000)]
+    rows = [("g", v) for v in vals]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    out = {(r["pct_num"], r["pct_den"]): r["est_value"]
+           for r in histogram_percentiles(
+               df, ["grp"], "value", width=1.0).collect()}
+    sv = sorted(vals)
+    for num, den in [(50, 100), (90, 100), (99, 100)]:
+        t = (num * len(sv) + den - 1) // den
+        exact = sv[t - 1]
+        assert abs(out[(num, den)] - exact) <= 1.0, (num, out, exact)
+    # partitioning invariance == mergeability of value-anchored bins
+    again = {(r["pct_num"], r["pct_den"]): r["est_value"]
+             for r in histogram_percentiles(
+                 df.repartition(13), ["grp"], "value",
+                 width=1.0).collect()}
+    assert again == out
+
+
+def test_histogram_percentiles_exact_on_bin_edges(spark):
+    """Integer-valued data with width 1: every value sits on its bin's
+    lower edge and the interior interpolation is exact."""
+    from ocr_spark.functions.sketches import histogram_percentiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], ["grp", "value"])
+    out = {r["pct_num"]: r["est_value"]
+           for r in histogram_percentiles(
+               df, ["grp"], "value", width=1.0).collect()}
+    # with cnt=1 per bin the within-bin ramp ends at the upper edge:
+    # est(t) = bin + (t - cumb)/cnt = bin + 1
+    assert out[50] == 51.0 and out[90] == 91.0 and out[99] == 100.0
