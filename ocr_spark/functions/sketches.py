@@ -67,6 +67,25 @@ def kmv_distinct(
     distributed window is the shape that survives billion-distinct
     groups.
     """
+    return kmv_finalize(
+        kmv_sketch_rows(df, group_cols, value_col, k, partial_trim),
+        group_cols, k,
+    )
+
+
+def kmv_sketch_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    partial_trim: bool = True,
+) -> DataFrame:
+    """The PERSISTABLE form of the sketch: per group, the k smallest
+    60-bit hashes as plain rows (group_cols..., _h). This is what an
+    incremental pipeline appends to its stats table on every snapshot
+    commit — sketches from any number of batches merge by
+    union-then-trim (`kmv_finalize`), so corpus-lifetime distinct
+    counts never rescan committed data."""
     h = spark_hash60(F.col(value_col).cast("string")).alias("_h")
     uniq = df.select(*group_cols, h).distinct()
     if partial_trim:
@@ -81,6 +100,24 @@ def kmv_distinct(
                 )
 
         uniq = uniq.mapInPandas(_trim, schema=uniq.schema)
+    w = W.partitionBy(*group_cols).orderBy("_h")
+    return (
+        uniq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, "_h")
+    )
+
+
+def kmv_finalize(
+    rows: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Union-then-trim merge + estimator over any union of
+    `kmv_sketch_rows` outputs (one batch or many): re-distinct (the
+    same value may appear in several batch sketches), re-trim to the k
+    smallest, then the bottom-k estimate. `kmv_distinct` IS this
+    composition, so merged-incremental and one-shot sketches agree by
+    construction."""
+    uniq = rows.select(*group_cols, "_h").distinct()
     w = W.partitionBy(*group_cols).orderBy("_h")
     kept = uniq.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k

@@ -112,3 +112,40 @@ def test_histogram_percentiles_exact_on_bin_edges(spark):
     # with cnt=1 per bin the within-bin ramp ends at the upper edge:
     # est(t) = bin + (t - cumb)/cnt = bin + 1
     assert out[50] == 51.0 and out[90] == 91.0 and out[99] == 100.0
+
+
+def test_kmv_incremental_via_snapstore(spark, tmp_path):
+    """Incremental corpus stats: append each batch's sketch rows to a
+    snapshot stats table at commit time; kmv_finalize over the table
+    equals the one-shot sketch of all data ever committed (the
+    union-then-trim merge law, exercised through the store). Time
+    travel gives the stats as of any earlier snapshot."""
+    from ocr_spark.functions.sketches import (
+        kmv_distinct,
+        kmv_finalize,
+        kmv_sketch_rows,
+    )
+    from ocr_spark.sources.snapstore import SnapshotTable
+
+    batch1 = _rows(spark, {"a": 300, "b": 8})
+    batch2 = spark.createDataFrame(
+        [("a", f"a:v{i}") for i in range(250, 550)]  # overlaps batch1
+        + [("c", f"c:v{i}") for i in range(40)],
+        ["grp", "val"],
+    )
+    store = SnapshotTable(str(tmp_path / "stats"))
+    v1 = store.append(kmv_sketch_rows(batch1, ["grp"], "val", k=16))
+    v2 = store.append(kmv_sketch_rows(batch2, ["grp"], "val", k=16))
+    assert v2 > v1
+
+    merged = sorted(map(tuple, kmv_finalize(
+        store.read(spark), ["grp"], k=16).collect()))
+    oneshot = sorted(map(tuple, kmv_distinct(
+        batch1.unionByName(batch2), ["grp"], "val", k=16).collect()))
+    assert merged == oneshot
+
+    asof_v1 = sorted(map(tuple, kmv_finalize(
+        store.read(spark, version=v1), ["grp"], k=16).collect()))
+    only1 = sorted(map(tuple, kmv_distinct(
+        batch1, ["grp"], "val", k=16).collect()))
+    assert asof_v1 == only1
