@@ -1080,6 +1080,24 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.35
+SEMCONTAM_TAU = 0.3
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (similarity.py
+    semantic_contamination): eval set = the ANN query vectors, corpus =
+    the rest; flag corpus vectors with max cosine >= 0.3 against any
+    eval vector — the paraphrase-leakage complement of the 8-gram probe
+    (decontaminate_ngrams). Broadcast eval matrix, one mapInPandas
+    matmul pass, zero shuffles. tau calibrated non-vacuous at every
+    driver SF (19/20/73 flagged)."""
+    from ocr_spark.operators.similarity import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_contamination(emb, "vec_id", "embedding",
+                                 ANN_QUERY_IDS, SEMCONTAM_TAU)
+    return out.select(F.col("id").alias("vec_id"), "matched_eval_id",
+                      "max_sim")
 
 
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_runs": dedup_substring_runs,
         "dedup_substring_trim": dedup_substring_trim,
         "a10_histogram_percentiles": a10_histogram_percentiles,
+        "decontaminate_semantic": decontaminate_semantic,
     }
 
 
@@ -2794,6 +2813,34 @@ def oracle_sql() -> dict[str, str]:
                    s.n_removed,
                    coalesce(a.trimmed_text, '') AS trimmed_text
             FROM stats s LEFT JOIN agg a USING (doc_id)
+        """,
+        "decontaminate_semantic": f"""
+            WITH ev AS (
+              SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[]))) AS n
+              FROM embeddings
+              WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})
+            ), c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[]))) AS n
+              FROM embeddings
+              WHERE vec_id NOT IN ({', '.join(map(str, ANN_QUERY_IDS))})
+            ), s AS (
+              SELECT c.vec_id, ev.eid,
+                     round(list_dot_product(c.v, ev.v)
+                           / (c.n * ev.n), 6) AS sim
+              FROM c CROSS JOIN ev
+            ), m AS (
+              SELECT vec_id, max(sim) AS max_sim
+              FROM s GROUP BY vec_id
+            )
+            SELECT s.vec_id, min(s.eid) AS matched_eval_id,
+                   m.max_sim
+            FROM s JOIN m ON s.vec_id = m.vec_id AND s.sim = m.max_sim
+            WHERE m.max_sim >= {SEMCONTAM_TAU!r}
+            GROUP BY s.vec_id, m.max_sim
         """,
         "a10_histogram_percentiles": """
             WITH h AS (

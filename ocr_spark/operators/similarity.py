@@ -612,3 +612,75 @@ def semantic_dedup(
         _dedup_cell,
         schema=f"doc_id {id_t}, keeper_id {id_t}, cos_sim double",
     )
+
+
+def semantic_contamination(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_ids: list[int],
+    tau: float,
+) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space
+    complement of the n-gram overlap probe (dedup.ngram_contamination):
+    flag every corpus vector whose max cosine against ANY eval-set
+    vector reaches `tau` (paraphrased eval leakage that shares no
+    8-gram). Returns (id, matched_eval_id, max_sim) for flagged rows;
+    matched_eval_id is the smallest eval id achieving the max (ties
+    deterministic).
+
+    Scale shape: the eval matrix (benchmarks are thousands of rows, not
+    corpus-sized) BROADCASTS; the corpus streams through one
+    mapInPandas with a single BLAS matmul per Arrow batch — no join, no
+    shuffle, output bounded by the contamination volume. The same
+    round-to-6-then-compare contract as the ANN family keeps the DuckDB
+    oracle exact."""
+    spark = emb.sparkSession
+    ev = (
+        emb.filter(F.col(id_col).isin(eval_ids))
+        .select(F.col(id_col).alias("eid"),
+                F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    if not len(ev):
+        raise ValueError("semantic_contamination: empty eval set")
+    emat = _matrix(ev["v"])
+    enorm = np.linalg.norm(emat, axis=1)
+    enorm[enorm == 0] = 1.0
+    eids = ev["eid"].to_numpy()
+    order = np.argsort(eids)  # ties resolve to the SMALLEST eval id
+    emat, enorm, eids = emat[order], enorm[order], eids[order]
+    bc = spark.sparkContext.broadcast((emat, enorm, eids))
+    id_t = _id_sql_type(emb, id_col)
+
+    base = emb.filter(~F.col(id_col).isin(eval_ids)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def _flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..blas_pin import pin_blas_single_thread
+
+        pin_blas_single_thread()
+        em, en, ei = bc.value
+        for pdf in batches:
+            mat = _matrix(pdf["vec"])
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = np.round(
+                (mat @ em.T) / (nrm[:, None] * en[None, :]), 6)
+            mx = sims.max(axis=1)
+            hit = mx >= tau
+            if not hit.any():
+                continue
+            first = np.argmax(sims[hit] == mx[hit, None], axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy()[hit],
+                "matched_eval_id": ei[first],
+                "max_sim": mx[hit],
+            })
+
+    return base.mapInPandas(
+        _flag,
+        schema=f"id {id_t}, matched_eval_id {id_t}, max_sim double",
+    )

@@ -541,3 +541,25 @@ def test_substring_trim_merges_overlaps_and_full_dup(spark):
     assert out[4]["n_removed"] == 10
     assert out[4]["trimmed_text"] == ""
     assert 1 not in out
+
+
+def test_semantic_contamination_planted(spark):
+    """A near-copy of an eval vector is flagged with the right match;
+    orthogonal corpus vectors are not; eval rows never self-flag."""
+    from ocr_spark.operators.similarity import semantic_contamination
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),       # eval
+        (2, [0.0, 1.0, 0.0, 0.0]),       # eval
+        (10, [0.98, 0.02, 0.0, 0.0]),    # paraphrase of eval 1
+        (11, [0.0, 0.0, 1.0, 0.0]),      # clean
+        (12, [0.7, 0.7, 0.0, 0.0]),      # equally close to 1 and 2
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: r for r in semantic_contamination(
+        emb, "vec_id", "embedding", [1, 2], tau=0.6).collect()}
+    assert set(out) == {10, 12}
+    assert out[10]["matched_eval_id"] == 1
+    assert out[10]["max_sim"] > 0.97
+    # exact tie between eval 1 and 2 resolves to the smaller id
+    assert out[12]["matched_eval_id"] == 1
