@@ -231,3 +231,21 @@ def test_nb_classifier_model_join_is_broadcast(spark):
     to the feature table: both must broadcast."""
     df = entry_mod.nb_quality_classifier(spark, SF_DIR)
     assert has_broadcast_join(df), executed_plan(df)
+
+
+def test_semantic_decontamination_zero_exchanges(spark):
+    """The embedding decontamination pass must be shuffle-FREE: the
+    eval matrix broadcasts and the corpus streams through one
+    mapInPandas — any Exchange means a join or aggregate crept in."""
+    df = entry_mod.decontaminate_semantic(spark, SF_DIR)
+    assert exchange_count(df) == 0, executed_plan(df)
+
+
+def test_histogram_percentile_sketch_exchange_budget(spark):
+    """Histogram sketch: the (group, bin) count is the only
+    corpus-sized aggregate; everything after (cumulative window,
+    targets, first-bin pick) works on bin-cardinality data. Pin the
+    static exchange budget so a corpus-sized shuffle cannot creep in
+    unnoticed."""
+    df = entry_mod.a10_histogram_percentiles(spark, SF_DIR)
+    assert exchange_count(df) <= 6, executed_plan(df)
