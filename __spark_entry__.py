@@ -1212,6 +1212,22 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_df=64)
 
 
+BM25_TERMS = ["spark", "join", "customer"]
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retrieval with BM25 (operators/search.py bm25_topk):
+    top-20 documents for a 3-term query, Lucene idf pinned to the
+    micro-nat grid and each per-term score micro-pinned before the
+    BIGINT document sum — bit-exact oracle, deterministic doc_id
+    tie-break. The query-term filter precedes every aggregate, so only
+    the queried postings flow."""
+    from ocr_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=20)
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy in exact integer
     micro-nats (operators/lm.py char_entropy): each c*ln(c) term is
@@ -1328,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_trim": dedup_substring_trim,
         "a10_histogram_percentiles": a10_histogram_percentiles,
         "decontaminate_semantic": decontaminate_semantic,
+        "search_bm25": search_bm25,
     }
 
 
@@ -2813,6 +2830,51 @@ def oracle_sql() -> dict[str, str]:
                    s.n_removed,
                    coalesce(a.trimmed_text, '') AS trimmed_text
             FROM stats s LEFT JOIN agg a USING (doc_id)
+        """,
+        "search_bm25": rf"""
+            WITH t2 AS (
+              SELECT doc_id AS id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents
+            ), t3 AS (
+              SELECT * FROM t2 WHERE length(word) > 0
+            ), dl AS (
+              SELECT id, count(*) AS dl FROM t3 GROUP BY id
+            ), st AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tt FROM dl
+            ), tf AS (
+              SELECT id, word, count(*) AS tf FROM t3
+              WHERE word IN ({', '.join(repr(t) for t in BM25_TERMS)})
+              GROUP BY id, word
+            ), dfw AS (
+              SELECT word, count(*) AS df FROM tf GROUP BY word
+            ), idf AS (
+              SELECT word,
+                     CAST(floor(ln(1.0 +
+                       (CAST((SELECT n_docs FROM st) AS DOUBLE)
+                        - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+                       AS BIGINT) AS idf_micro
+              FROM dfw
+            ), sc AS (
+              SELECT tf.id,
+                     CAST(floor(
+                       CAST(idf.idf_micro AS DOUBLE)
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                          / (CAST((SELECT tt FROM st) AS DOUBLE)
+                             / (SELECT n_docs FROM st))))
+                       + 0.5) AS BIGINT) AS s
+              FROM tf JOIN idf USING (word) JOIN dl USING (id)
+            ), agg AS (
+              SELECT id, CAST(sum(s) AS BIGINT) AS score_micro
+              FROM sc GROUP BY id
+            )
+            SELECT id AS doc_id, score_micro,
+                   CAST(row_number() OVER (
+                     ORDER BY score_micro DESC, id ASC) AS BIGINT)
+                     AS rank
+            FROM agg ORDER BY score_micro DESC, id ASC LIMIT 20
         """,
         "decontaminate_semantic": f"""
             WITH ev AS (
