@@ -82,6 +82,13 @@ def nb_train_score(
     labels = docs.filter(F.length(F.trim(text_col)) > 0).select(
         F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
     )
+    classes = {r["y"] for r in labels.select("y").distinct().collect()}
+    if classes != {0, 1}:
+        # a single-class (or empty) corpus would produce null scores for
+        # the missing class and every pred would silently fall to 0
+        raise ValueError(
+            f"nb_train_score: need both labels 0 and 1, got {sorted(classes)}"
+        )
     feats = hashed_token_features(docs, id_col, text_col, num_buckets)
     feats = feats.join(labels, "id").persist()
 

@@ -64,3 +64,12 @@ def test_hashed_features_sum_to_token_count(spark):
         per_doc[r["id"]] = per_doc.get(r["id"], 0) + r["cnt"]
     assert all(v == 30 for v in per_doc.values())
     assert len(per_doc) == 10
+
+
+def test_nb_rejects_single_class_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", 1), (2, "d e f", 1)], ["doc_id", "text", "y"])
+    import pytest
+
+    with pytest.raises(ValueError, match="both labels"):
+        nb_train_score(docs, "doc_id", "text", "y", num_buckets=8)
