@@ -1212,6 +1212,18 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_df=64)
 
 
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end C4/Gopher curation decision (operators/curate.py
+    curation_funnel): four exact signals joined, ordered gates, verdict
+    = first failing gate. Thresholds calibrated so every gate drops a
+    nonzero set at each driver SF (quality 25-360 / repetition 107-1073
+    / entropy 2-22 / length 2-35 drops; ~69% keep). Oracle composes the
+    four signal oracles as CTEs — exactness is inherited."""
+    from ocr_spark.operators.curate import curation_funnel
+
+    return curation_funnel(_t(spark, sf_dir, "documents"))
+
+
 BM25_TERMS = ["spark", "join", "customer"]
 
 
@@ -1345,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_histogram_percentiles": a10_histogram_percentiles,
         "decontaminate_semantic": decontaminate_semantic,
         "search_bm25": search_bm25,
+        "curation_funnel": curation_funnel_q,
     }
 
 
@@ -2238,6 +2251,32 @@ def _nb_quality_classifier_oracle(num_buckets: int = 64,
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # The funnel oracle composes four signal oracles as CTEs (nested
+    # WITH inside a parenthesized CTE body is legal DuckDB), so its
+    # exactness is inherited from theirs. Thresholds mirror
+    # operators/curate.curation_funnel defaults.
+    d["curation_funnel"] = f"""
+        WITH q AS ({d["text_quality_score"]}),
+             r AS ({d["text_repetition"]}),
+             e AS ({d["text_char_entropy"]}),
+             t AS ({d["text_token_count"]})
+        SELECT q.doc_id, q.quality, r.dup_word_frac, e.entropy_micro,
+               CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               CASE
+                 WHEN q.quality < 0.40 THEN 'quality'
+                 WHEN r.dup_word_frac > 0.93 THEN 'repetition'
+                 WHEN e.entropy_micro < 2600000 THEN 'entropy'
+                 WHEN t.n_tokens < 10 OR t.n_tokens > 90 THEN 'length'
+                 ELSE 'keep'
+               END AS verdict
+        FROM q JOIN r USING (doc_id) JOIN e USING (doc_id)
+               JOIN t USING (doc_id)
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -378,3 +378,60 @@ def temperature_mixture_sample(
         .join(F.broadcast(quotas), group_col)
         .filter(F.col("sample_rank") <= F.col("quota"))
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.40,
+    max_dup_word_frac: float = 0.93,
+    min_entropy_micro: int = 2_600_000,
+    min_tokens: int = 10,
+    max_tokens: int = 90,
+) -> DataFrame:
+    """The end-to-end C4/Gopher-style curation decision: join the four
+    independent quality signals (heuristic quality score, Gopher
+    duplicate-word fraction, character entropy, token count) and apply
+    ordered gates; ``verdict`` names the FIRST failing gate ('quality',
+    'repetition', 'entropy', 'length') or 'keep'. Documents with no
+    characters at all carry no entropy signal and are excluded by the
+    inner join; whitespace-only documents survive the join and fail the
+    entropy gate (a single repeated character class has zero entropy).
+
+    Every signal is already cross-engine exact (grid-pinned fractions,
+    micro-nat entropy, rounded quality), so the gate comparisons and the
+    verdict string are too. Thresholds are calibrated against the driver
+    corpus so each gate drops a nonzero document set at every SF (see
+    `__spark_entry__.curation_funnel_q`).
+
+    Scale shape: four independent one-or-two-shuffle signal pipelines
+    over the same scan, then doc-keyed equi-joins; at 100 TB the four
+    signals would compute in one pass via a shared token explode — the
+    composition here keeps each operator's tested single-responsibility
+    form and lets AQE coalesce the doc-keyed joins."""
+    from ..functions.textstats import quality_score, token_count
+    from .lm import char_entropy
+
+    q = df.select(F.col(id_col).alias("doc_id"),
+                  quality_score(text_col).alias("quality"))
+    r = repetition_metrics(df, id_col, text_col).select(
+        "doc_id", "dup_word_frac")
+    e = char_entropy(df, id_col, text_col).select(
+        "doc_id", "entropy_micro")
+    t = df.select(F.col(id_col).alias("doc_id"),
+                  token_count(text_col).cast("long").alias("n_tokens"))
+    joined = q.join(r, "doc_id").join(e, "doc_id").join(t, "doc_id")
+    verdict = (
+        F.when(F.col("quality") < min_quality, "quality")
+        .when(F.col("dup_word_frac") > max_dup_word_frac, "repetition")
+        .when(F.col("entropy_micro") < min_entropy_micro, "entropy")
+        .when(
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("n_tokens") > max_tokens), "length")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id", "quality", "dup_word_frac", "entropy_micro",
+        "n_tokens", verdict.alias("verdict"),
+    )

@@ -262,3 +262,35 @@ def test_temperature_mixture_flattens_sources(spark):
     again = temperature_mixture_sample(df, "source", "doc_id", total=100)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect()))
+
+
+def test_curation_funnel_first_fail_wins(spark):
+    """A document failing several gates reports the FIRST (quality
+    before repetition before entropy before length); clean docs keep;
+    zero-entropy whitespace is gated; charless docs drop out."""
+    from ocr_spark.operators.curate import curation_funnel
+
+    good = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "!!! ??? ***"),            # quality fail (all punct)
+            (3, ("dup " * 40).strip()),    # repetition (quality ok? low too)
+            (4, "a b"),                    # too short (length gate)
+            (5, "   "),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["verdict"] for r in curation_funnel(
+        docs, min_quality=0.10, max_dup_word_frac=0.93,
+        min_entropy_micro=500_000, min_tokens=10,
+        max_tokens=90).collect()}
+    assert out[1] == "keep"
+    assert out[2] == "quality"          # fails quality AND entropy -> first
+    assert out[3] == "repetition"
+    assert out[4] == "length"
+    # whitespace-only: 3 space chars -> zero entropy, gated there;
+    # truly EMPTY text has no characters and is excluded by the join
+    assert out[5] == "entropy"
+    assert 6 not in out
