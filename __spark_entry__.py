@@ -1212,6 +1212,17 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_df=64)
 
 
+def monitor_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline telemetry alarm (operators/monitor.py rate_anomalies):
+    hourly per-type event counts vs their trailing 24-bucket baseline,
+    |z| >= 2 in CROSS-MULTIPLIED INTEGER form — no float anywhere in
+    the decision, so the oracle is zero-tolerance. Calibrated
+    non-vacuous: 72/202/230 flagged buckets at the driver SFs."""
+    from ocr_spark.operators.monitor import rate_anomalies
+
+    return rate_anomalies(_t(spark, sf_dir, "events"))
+
+
 def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end C4/Gopher curation decision (operators/curate.py
     curation_funnel): four exact signals joined, ordered gates, verdict
@@ -1358,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": decontaminate_semantic,
         "search_bm25": search_bm25,
         "curation_funnel": curation_funnel_q,
+        "monitor_rate_anomalies": monitor_rate_anomalies,
     }
 
 
@@ -2869,6 +2881,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    s.n_removed,
                    coalesce(a.trimmed_text, '') AS trimmed_text
             FROM stats s LEFT JOIN agg a USING (doc_id)
+        """,
+        "monitor_rate_anomalies": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                       AS hour,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, hour, n,
+                     count(*) OVER f AS m,
+                     CAST(sum(n) OVER f AS BIGINT) AS s1,
+                     CAST(sum(n * n) OVER f AS BIGINT) AS s2
+              FROM c WINDOW f AS (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ), d AS (
+              SELECT event_type, hour, n, m, s1,
+                     m * n - s1 AS dev,
+                     m * s2 - s1 * s1 AS varm2
+              FROM w WHERE m >= 8
+            )
+            SELECT event_type, hour, n, m,
+                   CAST((1000 * s1) // m AS BIGINT) AS mean_milli,
+                   CASE WHEN varm2 > 0
+                        THEN CAST((dev * dev * 1000) // varm2 AS BIGINT)
+                   END AS z2_milli
+            FROM d
+            WHERE (varm2 = 0 AND dev <> 0)
+               OR (varm2 > 0 AND dev * dev * 1 >= 4 * varm2)
         """,
         "search_bm25": rf"""
             WITH t2 AS (
