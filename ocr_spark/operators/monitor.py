@@ -33,52 +33,27 @@ from pyspark.sql.window import Window as W
 MICROS_PER_HOUR = 3_600_000_000
 
 
-def rate_anomalies(
-    events: DataFrame,
-    ts_col: str = "ts",
-    group_col: str = "event_type",
-    trail: int = 24,
-    min_history: int = 8,
-    z2_num: int = 4,
-    z2_den: int = 1,
+def _flag_counts(
+    counts: DataFrame,
+    trail: int,
+    min_history: int,
+    z2_num: int,
+    z2_den: int,
 ) -> DataFrame:
-    """Flag (group, hour) buckets whose count deviates from the trailing
-    `trail`-bucket baseline by |z| >= sqrt(z2_num/z2_den). Returns
-    (event_type, hour, n, m, mean_milli, z2_milli) for flagged buckets;
-    z2_milli is NULL for the zero-variance infinite-z case. Buckets
-    with under `min_history` trailing observations never flag (cold
-    start). The trailing frame is over OBSERVED buckets (ROWS, not
-    RANGE): at production scale the count series is densified first
-    (sequence join filling silent hours with 0 — a silent source IS the
-    anomaly), which this operator accepts as pre-densified input.
-
-    Scale shape: one map-side-combined count per (group, hour), then a
-    group-partitioned ordered window over the tiny per-group hour
-    series. Nothing here scales with raw event volume past the first
-    aggregate."""
-    hour = (
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
-        / F.lit(MICROS_PER_HOUR)
-    ).cast("long")
-    c = (
-        events.select(F.col(group_col).alias("event_type"),
-                      hour.alias("hour"))
-        .groupBy("event_type", "hour")
-        .agg(F.count("*").alias("n"))
-    )
+    """The shared decision: trailing integer moments + cross-multiplied
+    z^2 gate over a (event_type, hour, n) count frame."""
     f = (
         W.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-trail, -1)
     )
     w = (
-        c.withColumn("m", F.count("*").over(f))
+        counts.withColumn("m", F.count("*").over(f))
         .withColumn("s1", F.sum("n").over(f))
         .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(f))
-    )
-    w = w.withColumn(
-        "dev", F.col("m") * F.col("n") - F.col("s1")
-    ).withColumn(
-        "varm2", F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+        .withColumn("dev", F.col("m") * F.col("n") - F.col("s1"))
+        .withColumn(
+            "varm2",
+            F.col("m") * F.col("s2") - F.col("s1") * F.col("s1"))
     )
     flagged = w.filter(
         (F.col("m") >= min_history)
@@ -102,3 +77,86 @@ def rate_anomalies(
             F.expr("(dev * dev * 1000) div varm2").cast("long"),
         ).alias("z2_milli"),
     )
+
+
+def _hour_counts(
+    events: DataFrame, ts_col: str, group_col: str
+) -> DataFrame:
+    hour = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(MICROS_PER_HOUR)
+    ).cast("long")
+    return (
+        events.select(F.col(group_col).alias("event_type"),
+                      hour.alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    trail: int = 24,
+    min_history: int = 8,
+    z2_num: int = 4,
+    z2_den: int = 1,
+) -> DataFrame:
+    """Flag (group, hour) buckets whose count deviates from the trailing
+    `trail`-bucket baseline by |z| >= sqrt(z2_num/z2_den). Returns
+    (event_type, hour, n, m, mean_milli, z2_milli) for flagged buckets;
+    z2_milli is NULL for the zero-variance infinite-z case. Buckets
+    with under `min_history` trailing observations never flag (cold
+    start). The trailing frame is over OBSERVED buckets — use
+    `rate_anomalies_dense` when silent hours must alarm too.
+
+    Scale shape: one map-side-combined count per (group, hour), then a
+    group-partitioned ordered window over the tiny per-group hour
+    series. Nothing here scales with raw event volume past the first
+    aggregate."""
+    return _flag_counts(_hour_counts(events, ts_col, group_col),
+                        trail, min_history, z2_num, z2_den)
+
+
+def densify_hours(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, hour, n) with EVERY hour between each group's first
+    and last observation present — silent hours carry n = 0, so a source
+    that stops emitting becomes a flaggable anomaly instead of a missing
+    row.
+
+    Scale shape: the per-group hour span is generated with
+    sequence+explode off a 2-long-per-group aggregate — the dense frame
+    is (groups x span-hours) rows, telemetry-sized, never event-sized;
+    the left join back to observed counts is group+hour keyed."""
+    c = _hour_counts(events, ts_col, group_col)
+    spans = c.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    dense = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1")).alias("hour"),
+    )
+    return dense.join(c, ["event_type", "hour"], "left").select(
+        "event_type", "hour",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+
+def rate_anomalies_dense(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    trail: int = 24,
+    min_history: int = 8,
+    z2_num: int = 4,
+    z2_den: int = 1,
+) -> DataFrame:
+    """`rate_anomalies` over the densified hour series: identical
+    decision arithmetic, but silent hours exist (n = 0) and can flag —
+    a source going dark IS the anomaly."""
+    return _flag_counts(densify_hours(events, ts_col, group_col),
+                        trail, min_history, z2_num, z2_den)

@@ -59,3 +59,25 @@ def test_anomaly_set_partitioning_invariant(spark):
     a = sorted(map(tuple, rate_anomalies(ev).collect()))
     b = sorted(map(tuple, rate_anomalies(ev.repartition(7)).collect()))
     assert a == b and a
+
+
+def test_silent_hour_flags_only_in_dense_mode(spark):
+    """A source that goes dark mid-series: observed-bucket mode cannot
+    see the missing hour; dense mode materializes it as n=0 and flags
+    it as an infinite-z (or large-z) drop."""
+    from ocr_spark.operators.monitor import (
+        densify_hours,
+        rate_anomalies_dense,
+    )
+
+    # hours 0..11 emit ~10; hour 12 is SILENT; hour 13 resumes
+    series = [10, 11, 9, 10, 12, 10, 9, 11, 10, 10, 11, 9, 0, 10]
+    ev = _events(spark, series)  # hour 12 contributes no events
+    dense = {(r["event_type"], r["hour"]): r["n"]
+             for r in densify_hours(ev).collect()}
+    assert len(dense) == len(series)  # every hour 0..13 materialized
+    sparse_out = rate_anomalies(ev).collect()
+    assert all(r["n"] != 0 for r in sparse_out)
+    dense_out = rate_anomalies_dense(ev).collect()
+    zero_rows = [r for r in dense_out if r["n"] == 0]
+    assert len(zero_rows) == 1 and zero_rows[0]["z2_milli"] > 4000
