@@ -87,15 +87,26 @@ def kmv_sketch_rows(
     union-then-trim (`kmv_finalize`), so corpus-lifetime distinct
     counts never rescan committed data."""
     h = spark_hash60(F.col(value_col).cast("string")).alias("_h")
-    uniq = df.select(*group_cols, h).distinct()
+    # null values carry no hash: md5(NULL) is NULL, and a null _h would
+    # rank nulls-first in Spark vs NULLS LAST in DuckDB, stealing a
+    # bottom-k slot on one engine only — exclude them on both sides
+    # (the oracle builder filters the value expression identically)
+    uniq = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h)
+        .distinct()
+    )
     if partial_trim:
         gc = list(group_cols)
 
         def _trim(batches):
             for pdf in batches:
+                # dropna=False: a null GROUP key is a real group (the
+                # SQL GROUP BY keeps it); pandas' default would silently
+                # drop it from the sketch only when trimming
                 yield (
                     pdf.sort_values("_h")
-                    .groupby(gc, sort=False)
+                    .groupby(gc, sort=False, dropna=False)
                     .head(k)
                 )
 
@@ -154,6 +165,7 @@ def kmv_distinct_oracle_sql(
         WITH src AS ({source_sql}),
         uniq AS (
           SELECT DISTINCT {g}, {sql_hash60(value_expr)} AS h FROM src
+          WHERE ({value_expr}) IS NOT NULL
         ), kept AS (
           SELECT {g}, h,
                  row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn

@@ -25,13 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MICRO = 1_000_000
+from .lm import _micro_ln  # one micro-nat grid for the whole repo
+
 WS_SPLIT = r"\s+"
-
-
-def _micro_ln(x) -> F.Column:
-    """ln(x) pinned to the integer micro-nat grid (round-half-up)."""
-    return F.floor(F.log(x) * F.lit(MICRO) + F.lit(0.5)).cast("long")
 
 
 def hashed_token_features(
@@ -85,12 +81,20 @@ def nb_train_score(
     classes = {r["y"] for r in labels.select("y").distinct().collect()}
     if classes != {0, 1}:
         # a single-class (or empty) corpus would produce null scores for
-        # the missing class and every pred would silently fall to 0
+        # the missing class and every pred would silently fall to 0;
+        # sort via str so a NULL label cannot crash the diagnostic
         raise ValueError(
-            f"nb_train_score: need both labels 0 and 1, got {sorted(classes)}"
+            "nb_train_score: need both labels 0 and 1, got "
+            f"{sorted(classes, key=str)}"
         )
     feats = hashed_token_features(docs, id_col, text_col, num_buckets)
-    feats = feats.join(labels, "id").persist()
+    # no persist: the feature table is corpus-sized, and its two
+    # consumers split naturally — the class-count branch collapses into
+    # the tiny broadcast model (built once), and the scoring branch is
+    # the one full pass. Two scans, zero cached state that a caller
+    # would have to release; callers with cheap memory can persist the
+    # input df themselves.
+    feats = feats.join(labels, "id")
 
     cls_counts = (
         feats.groupBy("y", "bucket").agg(F.sum("cnt").alias("c"))

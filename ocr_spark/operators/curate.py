@@ -362,13 +362,22 @@ def temperature_mixture_sample(
             F.sqrt(F.col("f").cast("double")) * F.lit(unit) + F.lit(0.5)
         ).cast("long").alias("w"),
     )
-    big_w = weights.agg(F.sum("w")).collect()[0][0]
+    # ONE aggregate pass: the weight table is group-cardinality-sized,
+    # so collect it once and derive both the normalizer and the quota
+    # table driver-side (re-deriving quotas as a second groupBy would
+    # scan the corpus twice)
+    wrows = weights.collect()
+    big_w = sum(r["w"] for r in wrows)
     if not big_w:
         raise ValueError("temperature_mixture_sample: empty input")
-    quotas = weights.select(
-        group_col,
-        F.expr(f"({total} * w) div {int(big_w)}").cast("long")
-        .alias("quota"),
+    from pyspark.sql import types as T
+
+    quotas = df.sparkSession.createDataFrame(
+        [(r[group_col], (total * r["w"]) // big_w) for r in wrows],
+        schema=T.StructType([
+            weights.schema[group_col],
+            T.StructField("quota", T.LongType()),
+        ]),
     )
     win = Window.partitionBy(group_col).orderBy(
         F.md5(F.col(key_col).cast("string")), F.col(key_col)

@@ -59,7 +59,13 @@ def pagerank(
     edges); dangling mass is one scalar aggregate per round. Each
     round's rank table is persisted and the previous round unpersisted —
     the iterative-lineage lesson from neardup_components (unpersisted
-    loops recompute exponentially)."""
+    loops recompute exponentially).
+
+    Lifecycle contract: the RETURNED frame is the final round's
+    persisted table (releasing it before return would re-run the whole
+    loop on first use). Callers that manage long-lived sessions should
+    ``unpersist()`` it after consumption; one node-sized cache per call
+    is the deliberate trade."""
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty node set")

@@ -82,13 +82,21 @@ def _flag_counts(
 def _hour_counts(
     events: DataFrame, ts_col: str, group_col: str
 ) -> DataFrame:
-    hour = (
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
-        / F.lit(MICROS_PER_HOUR)
-    ).cast("long")
+    # FLOOR division via pmod, not float-divide-and-cast: cast-long
+    # truncates toward zero, which disagrees with DuckDB's // (floor)
+    # for pre-1970 timestamps — and this module promises no float in
+    # any decision input
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     return (
         events.select(F.col(group_col).alias("event_type"),
-                      hour.alias("hour"))
+                      us.alias("_us"))
+        .select(
+            "event_type",
+            F.expr(
+                f"(_us - pmod(_us, {MICROS_PER_HOUR})) "
+                f"div {MICROS_PER_HOUR}"
+            ).cast("long").alias("hour"),
+        )
         .groupBy("event_type", "hour")
         .agg(F.count("*").alias("n"))
     )
@@ -124,21 +132,25 @@ def densify_hours(
     ts_col: str = "ts",
     group_col: str = "event_type",
 ) -> DataFrame:
-    """(event_type, hour, n) with EVERY hour between each group's first
-    and last observation present — silent hours carry n = 0, so a source
-    that stops emitting becomes a flaggable anomaly instead of a missing
-    row.
+    """(event_type, hour, n) with EVERY hour from each group's first
+    observation through the GLOBAL last observed hour present — silent
+    hours carry n = 0, so a source that stops emitting becomes a
+    flaggable anomaly instead of a missing row. Extending each span to
+    the global max (not the group's own last hour) is what makes a
+    source that dies PERMANENTLY flag: its own span would end at its
+    last event, hiding exactly the outage this exists to catch.
 
     Scale shape: the per-group hour span is generated with
-    sequence+explode off a 2-long-per-group aggregate — the dense frame
-    is (groups x span-hours) rows, telemetry-sized, never event-sized;
-    the left join back to observed counts is group+hour keyed."""
+    sequence+explode off a 2-long-per-group aggregate (plus one global
+    scalar) — the dense frame is (groups x span-hours) rows,
+    telemetry-sized, never event-sized; the left join back to observed
+    counts is group+hour keyed."""
     c = _hour_counts(events, ts_col, group_col)
-    spans = c.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-    dense = spans.select(
+    gmax = c.agg(F.max("hour").alias("hmax"))
+    spans = c.groupBy("event_type").agg(F.min("hour").alias("h0"))
+    dense = spans.crossJoin(F.broadcast(gmax)).select(
         "event_type",
-        F.explode(F.sequence("h0", "h1")).alias("hour"),
+        F.explode(F.sequence("h0", "hmax")).alias("hour"),
     )
     return dense.join(c, ["event_type", "hour"], "left").select(
         "event_type", "hour",

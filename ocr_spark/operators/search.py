@@ -54,9 +54,12 @@ def bm25_topk(
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).collect()[0]
-    n_docs, total_tokens = int(stats[0]), int(stats[1])
+    n_docs = int(stats[0])
     if n_docs == 0:
+        # checked before touching the sum: an empty corpus yields a
+        # NULL total and int(None) would mask this error as a TypeError
         raise ValueError("bm25_topk: empty corpus")
+    total_tokens = int(stats[1])
     avgdl = total_tokens / n_docs  # one IEEE division, both engines
 
     qt = toks.filter(F.col("word").isin(list(query_terms)))

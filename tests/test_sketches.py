@@ -149,3 +149,25 @@ def test_kmv_incremental_via_snapstore(spark, tmp_path):
     only1 = sorted(map(tuple, kmv_distinct(
         batch1, ["grp"], "val", k=16).collect()))
     assert asof_v1 == only1
+
+
+def test_kmv_null_values_and_null_group_keys(spark):
+    """Null VALUES carry no hash and must not steal bottom-k slots
+    (Spark ranks null-first, DuckDB nulls-last — excluded on both
+    sides); a null GROUP key is a real group and must survive the
+    pandas trim (dropna=False)."""
+    rows = (
+        [("a", f"a:v{i}") for i in range(30)]
+        + [("a", None)] * 3
+        + [(None, f"n:v{i}") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r["grp"]: r for r in kmv_distinct(
+        df, ["grp"], "val", k=16).collect()}
+    assert out["a"]["n_kept"] == 16      # nulls took no slot
+    assert out[None]["n_kept"] == 16     # null group present
+    trimless = {r["grp"]: r for r in kmv_distinct(
+        df, ["grp"], "val", k=16, partial_trim=False).collect()}
+    assert sorted(map(str, out)) == sorted(map(str, trimless))
+    for g in out:
+        assert out[g]["kth_hash"] == trimless[g]["kth_hash"]
