@@ -249,3 +249,20 @@ def test_histogram_percentile_sketch_exchange_budget(spark):
     unnoticed."""
     df = entry_mod.a10_histogram_percentiles(spark, SF_DIR)
     assert exchange_count(df) <= 6, executed_plan(df)
+
+
+def test_substring_runs_single_postings_shuffle_key(spark):
+    """Exact-substring detection: the corpus-sized shuffles are keyed by
+    the gram (postings + df-cap + self-join all co-partitioned); the
+    only other keys allowed are the island window's pair+diagonal and
+    its aggregate — a doc-keyed or unkeyed corpus exchange would mean
+    the join drifted off the postings layout."""
+    df = entry_mod.dedup_substring_runs(spark, SF_DIR)
+    plan = executed_plan(df)
+    parts = [l for l in plan.splitlines()
+             if "Exchange hashpartitioning" in l]
+    assert parts, plan
+    for line in parts:
+        assert ("gram" in line) or ("doc_a" in line and "diag" in line), (
+            line
+        )
