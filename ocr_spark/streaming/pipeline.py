@@ -134,3 +134,81 @@ def windowed_code_rate(
             "sum_value",
         )
     )
+
+
+EVENT_STREAM_SCHEMA = "event_type string, ts timestamp"
+
+
+def stream_rate_alarms(
+    spark: SparkSession,
+    inbox_dir: str,
+    counts_store: SnapshotTable,
+    alarms_store: SnapshotTable,
+    checkpoint_dir: str,
+    trail: int = 24,
+    min_history: int = 8,
+    z2_num: int = 4,
+    z2_den: int = 1,
+) -> StreamingQuery:
+    """Streaming twin of operators/monitor.rate_anomalies: telemetry
+    events arrive as parquet drops in an inbox, and every micro-batch
+
+      1. aggregates the batch's (event_type, hour) counts and MERGEs
+         them into `counts_store` keyed by (batch, group, hour) —
+         at-least-once replay UNDER THE SAME CHECKPOINT re-delivers the
+         identical batch id + contents, so the merge overwrites the
+         same partial rows instead of double-counting (the exactly-once
+         device of `stream_extraction`). Reprocessing from a FRESH
+         checkpoint is a different operation — batch boundaries change,
+         so pair it with a fresh counts store (alarms merge by
+         (group, hour) and stay duplicate-free either way);
+      2. re-runs the integer flag decision over the merged history
+         (per-batch partials sum back to total counts — counts are the
+         trivially mergeable sketch);
+      3. MERGEs new flags into `alarms_store` keyed by (group, hour),
+         so a replayed batch re-asserts rather than duplicates alarms.
+
+    The decision arithmetic is byte-identical to the batch operator
+    (shared `_flag_counts`), so alarms raised by the stream equal the
+    batch operator run over everything the stream has seen — pinned by
+    tests/test_streaming.py.
+
+    `counts_store` must be keyed on the composite key column `ck`;
+    `alarms_store` on `ak`."""
+    from ..operators.monitor import _flag_counts, _hour_counts
+
+    events = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(inbox_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = _hour_counts(batch_df, "ts", "event_type").select(
+            F.concat_ws(
+                ":", F.lit(batch_id), F.col("event_type"), F.col("hour")
+            ).alias("ck"),
+            "event_type", "hour", "n",
+        )
+        counts_store.merge_upsert(partial)
+        totals = (
+            counts_store.read(spark)
+            .groupBy("event_type", "hour")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        flags = _flag_counts(totals, trail, min_history, z2_num, z2_den)
+        flags = flags.select(
+            F.concat_ws(":", F.col("event_type"), F.col("hour"))
+            .alias("ak"),
+            "event_type", "hour", "n", "m", "mean_milli", "z2_milli",
+        )
+        if not flags.isEmpty():
+            alarms_store.merge_upsert(flags)
+
+    return (
+        events.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -252,3 +252,76 @@ def test_stateful_stream_dedup_first_seen(spark, tmp_path, corpus):
     assert n_distinct_payloads == 15  # 10 from batch1 + 5 new in batch2
     assert all(not d.startswith(("zdup-", "redeliver-"))
                for d in by_fp.values())
+
+
+def test_stream_rate_alarms_matches_batch_and_replays_idempotent(
+    spark, tmp_path
+):
+    """Anomaly alarms over a live stream: batch 1 establishes the
+    baseline (no alarms yet), batch 2 carries a spike that alarms, and
+    the streamed alarm set equals the batch operator run over all
+    events seen. Replaying (fresh checkpoint, same drops) merges onto
+    the same alarm keys instead of duplicating."""
+    import datetime
+
+    from ocr_spark.operators.monitor import rate_anomalies
+    from ocr_spark.streaming.pipeline import stream_rate_alarms
+
+    base = datetime.datetime(2024, 1, 1)
+    series = [10, 11, 9, 10, 12, 10, 9, 11, 10, 10, 11, 9, 100]
+
+    def rows(hours):
+        out = []
+        for h in hours:
+            for j in range(series[h]):
+                out.append(
+                    ("click",
+                     base + datetime.timedelta(hours=h, seconds=j)))
+        return out
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    spark.createDataFrame(rows(range(12)), "event_type string, ts timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/d1")
+    # file source needs flat files in the inbox dir
+    import glob
+    import shutil
+
+    for i, d in enumerate(("d1",)):
+        src = glob.glob(f"{inbox}/{d}/*.parquet")[0]
+        shutil.move(src, f"{inbox}/batch{i}.parquet")
+        shutil.rmtree(f"{inbox}/{d}")
+
+    counts = SnapshotTable(str(tmp_path / "counts"), key_col="ck")
+    alarms = SnapshotTable(str(tmp_path / "alarms"), key_col="ak")
+
+    q = stream_rate_alarms(spark, inbox, counts, alarms,
+                           str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert alarms.read(spark) is None or alarms.read(spark).count() == 0
+
+    spark.createDataFrame(rows([12]), "event_type string, ts timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/d2")
+    src = glob.glob(f"{inbox}/d2/*.parquet")[0]
+    shutil.move(src, f"{inbox}/batch1.parquet")
+    shutil.rmtree(f"{inbox}/d2")
+
+    q2 = stream_rate_alarms(spark, inbox, counts, alarms,
+                            str(tmp_path / "ck1"))
+    q2.awaitTermination(120)
+    got = [(r["event_type"], r["hour"], r["n"], r["m"], r["mean_milli"],
+            r["z2_milli"]) for r in alarms.read(spark).collect()]
+    ev = spark.createDataFrame(rows(range(13)),
+                               "event_type string, ts timestamp")
+    want = [(r["event_type"], r["hour"], r["n"], r["m"], r["mean_milli"],
+             r["z2_milli"]) for r in rate_anomalies(ev).collect()]
+    assert sorted(got) == sorted(want) and len(want) == 1
+
+    # replay everything on a FRESH checkpoint: same alarm keys merge,
+    # no duplicates
+    q3 = stream_rate_alarms(spark, inbox, counts, alarms,
+                            str(tmp_path / "ck2"))
+    q3.awaitTermination(120)
+    again = [(r["event_type"], r["hour"]) for r in
+             alarms.read(spark).collect()]
+    assert len(again) == len(set(again)) == 1
