@@ -1223,6 +1223,17 @@ def monitor_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(_t(spark, sf_dir, "events"))
 
 
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment (operators/
+    curate.py split_assign): md5-bucket ranges on the doc id, so
+    membership is stable under corpus regrowth. Exact oracle (same
+    md5-60 mod-100 arithmetic)."""
+    from ocr_spark.operators.curate import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(docs, "doc_id")
+
+
 def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end C4/Gopher curation decision (operators/curate.py
     curation_funnel): four exact signals joined, ordered gates, verdict
@@ -1370,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": search_bm25,
         "curation_funnel": curation_funnel_q,
         "monitor_rate_anomalies": monitor_rate_anomalies,
+        "sample_split_assign": sample_split_assign,
     }
 
 
@@ -2881,6 +2893,19 @@ def _oracle_sql_base() -> dict[str, str]:
                    s.n_removed,
                    coalesce(a.trimmed_text, '') AS trimmed_text
             FROM stats s LEFT JOIN agg a USING (doc_id)
+        """,
+        "sample_split_assign": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 100 AS bucket,
+                   CASE
+                     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT % 100 < 90 THEN 'train'
+                     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT % 100 < 95 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "monitor_rate_anomalies": """
             WITH c AS (

@@ -389,6 +389,34 @@ def temperature_mixture_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = md5-60 of the key
+    mod 100, split = [0, train_pct) -> 'train', [train_pct,
+    train_pct+val_pct) -> 'val', rest -> 'test'. Keyed on a stable id,
+    the assignment survives corpus regrowth (a document never migrates
+    between splits as data is added — the property random-number splits
+    lack) and is engine-neutral for the oracle. Appends (bucket,
+    split)."""
+    if not (0 < train_pct and 0 <= val_pct
+            and train_pct + val_pct < 100):
+        raise ValueError("split_assign: percentages must partition 100")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long") % 100
+    )
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     id_col: str = "doc_id",

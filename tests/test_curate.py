@@ -294,3 +294,27 @@ def test_curation_funnel_first_fail_wins(spark):
     # truly EMPTY text has no characters and is excluded by the join
     assert out[5] == "entropy"
     assert 6 not in out
+
+
+def test_split_assign_stable_under_growth(spark):
+    """Split membership is a pure function of the key: adding documents
+    never migrates an existing one between splits, fractions land near
+    90/5/5, and invalid percentages raise."""
+    import pytest
+
+    from ocr_spark.operators.curate import split_assign
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"]
+               for r in split_assign(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: r["split"]
+             for r in split_assign(big, "doc_id").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    frac = {s: sum(1 for v in s_big.values() if v == s) / 5000
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.90) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+    with pytest.raises(ValueError, match="partition"):
+        split_assign(small, "doc_id", train_pct=96, val_pct=5)
