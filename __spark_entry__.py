@@ -1311,61 +1311,18 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry, ordered by driver-evidence priority.
+
+    The correctness driver checks the FIRST 50 entries against the
+    DuckDB oracles, so the registry leads with the queries that have
+    the least driver history (round-3/4 additions and the ANN rows
+    whose only prior driver evidence was vacuous), and rotates the
+    rows that have been green for 3+ consecutive rounds to the tail.
+    """
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_revenue_by_nation": q3_revenue_by_nation,
-        "a7_priority_count": a7_priority_count,
-        "j3_semi_customers_with_orders": j3_semi_customers_with_orders,
-        "j1_anti_customers_without_orders": j1_anti_customers_without_orders,
-        "j4_positional_pairs": j4_positional_pairs,
-        "w1_first_event_per_user_type": w1_first_event_per_user_type,
-        "a5_event_seq_concat": a5_event_seq_concat,
-        "a8_event_stats": a8_event_stats,
-        "u4_viewers_minus_purchasers": u4_viewers_minus_purchasers,
-        "p1_token_explode": p1_token_explode,
-        "p6_contains_search": p6_contains_search,
-        "f_hash_surrogates": f_hash_surrogates,
-        "f1_voucher_extract_synth": f1_voucher_extract_synth,
-        "a1_first_occurrence_dedup": a1_first_occurrence_dedup,
-        "j2_merge_array_union": j2_merge_array_union,
-        "p3_banned_anti_join": p3_banned_anti_join,
-        "a6_collect_codes_per_key": a6_collect_codes_per_key,
-        "f6_path_functions": f6_path_functions,
-        "w3_seeded_random_order": w3_seeded_random_order,
-        "s5_scan_filter_project": s5_scan_filter_project,
-        "f11_json_props": f11_json_props,
-        "q4_windowed_event_rate": q4_windowed_event_rate,
-        "m6_crop_half_ocr": m6_crop_half_ocr,
-        "r4_quadrant_spans": r4_quadrant_spans,
-        "text_token_count_bpe": text_token_count_bpe,
-        "text_token_count": text_token_count,
-        "text_quality_score": text_quality_score,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "text_boilerplate_strip": text_boilerplate_strip,
-        "text_repetition": text_repetition,
-        "bpe_learn": bpe_learn,
-        "lm_perplexity": lm_perplexity,
-        "text_tfidf_keywords": text_tfidf_keywords,
-        "pack_sequences": pack_sequences_q,
-        "decontaminate_ngrams": decontaminate_ngrams,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_components": dedup_components,
-        "layout_reading_order": layout_reading_order,
-        "text_pii_scrub": text_pii_scrub,
-        "sample_stratified": sample_stratified,
-        "q5_sessionization": q5_sessionization,
-        "j5_asof_last_purchase": j5_asof_last_purchase,
-        "a9_value_percentiles": a9_value_percentiles,
-        "dedup_simhash": dedup_simhash,
-        "text_winnowing_fp": text_winnowing_fp,
-        "ann_cosine_topk": ann_cosine_topk,
-        "emb_neardup_pairs": emb_neardup_pairs,
-        "ann_lsh_topk": ann_lsh_topk,
-        "emb_neardup_lsh": emb_neardup_lsh,
-        "ann_ivf_topk": ann_ivf_topk,
+        # -- block 1: never driver-checked before round 4 (r3 registry
+        #    tail, cut by the driver's 50-query cap) + the ANN rows
+        #    whose last driver rows (r02) were 0-row vacuous.
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "semantic_dedup": semantic_dedup_q,
         "sketch_distinct_tokens": sketch_distinct_tokens,
@@ -1382,6 +1339,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": curation_funnel_q,
         "monitor_rate_anomalies": monitor_rate_anomalies,
         "sample_split_assign": sample_split_assign,
+        "emb_neardup_pairs": emb_neardup_pairs,
+        "emb_neardup_lsh": emb_neardup_lsh,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        # -- block 2: round-2/3 operators (one or two green rounds).
+        "ann_cosine_topk": ann_cosine_topk,
+        "dedup_components": dedup_components,
+        "dedup_simhash": dedup_simhash,
+        "text_winnowing_fp": text_winnowing_fp,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_exact": dedup_exact,
+        "decontaminate_ngrams": decontaminate_ngrams,
+        "layout_reading_order": layout_reading_order,
+        "text_pii_scrub": text_pii_scrub,
+        "sample_stratified": sample_stratified,
+        "q5_sessionization": q5_sessionization,
+        "j5_asof_last_purchase": j5_asof_last_purchase,
+        "a9_value_percentiles": a9_value_percentiles,
+        "bpe_learn": bpe_learn,
+        "lm_perplexity": lm_perplexity,
+        "text_tfidf_keywords": text_tfidf_keywords,
+        "pack_sequences": pack_sequences_q,
+        "text_boilerplate_strip": text_boilerplate_strip,
+        "text_repetition": text_repetition,
+        "text_token_count_bpe": text_token_count_bpe,
+        "text_token_count": text_token_count,
+        "text_quality_score": text_quality_score,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "m6_crop_half_ocr": m6_crop_half_ocr,
+        "r4_quadrant_spans": r4_quadrant_spans,
+        "q4_windowed_event_rate": q4_windowed_event_rate,
+        "f1_voucher_extract_synth": f1_voucher_extract_synth,
+        "w3_seeded_random_order": w3_seeded_random_order,
+        # -- block 3 (tail, past the driver's 50-query cap): TPC-style
+        #    rows green in CORRECTNESS_r01..r03; pytest still covers
+        #    every one (tests/test_entry_oracles.py runs the full map).
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_revenue_by_nation": q3_revenue_by_nation,
+        "a7_priority_count": a7_priority_count,
+        "j3_semi_customers_with_orders": j3_semi_customers_with_orders,
+        "j1_anti_customers_without_orders": j1_anti_customers_without_orders,
+        "j4_positional_pairs": j4_positional_pairs,
+        "w1_first_event_per_user_type": w1_first_event_per_user_type,
+        "a5_event_seq_concat": a5_event_seq_concat,
+        "a8_event_stats": a8_event_stats,
+        "u4_viewers_minus_purchasers": u4_viewers_minus_purchasers,
+        "p1_token_explode": p1_token_explode,
+        "p6_contains_search": p6_contains_search,
+        "f_hash_surrogates": f_hash_surrogates,
+        "a1_first_occurrence_dedup": a1_first_occurrence_dedup,
+        "j2_merge_array_union": j2_merge_array_union,
+        "p3_banned_anti_join": p3_banned_anti_join,
+        "a6_collect_codes_per_key": a6_collect_codes_per_key,
+        "f6_path_functions": f6_path_functions,
+        "s5_scan_filter_project": s5_scan_filter_project,
+        "f11_json_props": f11_json_props,
     }
 
 

@@ -195,7 +195,70 @@ def run_scaling(sf: float) -> dict:
     return out
 
 
+# The 5 slowest suite queries per BENCH_r03 — all iterative or
+# multi-stage (persist/unpersist pressure), so their scaling behavior is
+# not predicted by the flagship's single-pass pipeline.
+_HEAVY_QUERIES = (
+    "dedup_components",
+    "graph_pagerank",
+    "nb_quality_classifier",
+    "dedup_substring_runs",
+    "dedup_substring_trim",
+)
+
+
+def run_query_scaling(sf_dir: str) -> dict:
+    """Per-query scaling pair for the heaviest suite queries.
+
+    Runs each of _HEAVY_QUERIES at local[8] and local[32] on the same
+    parquet input (one untimed warm pass then median of 3 timed reps per
+    core count) and reports per-query throughput ratio / 4 — the same
+    N->4N evidence the flagship has, extended to the iterative-loop
+    operators whose persist/unpersist pressure the flagship can't probe.
+    """
+    import __spark_entry__ as entrymod
+
+    from ocr_spark.session import get_spark, stop_spark
+
+    pair = os.environ.get("BENCH_SCALING_CORES", "8,32")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
+    qmap = entrymod.queries()
+    out: dict = {"pair": f"local[{n_lo}] -> local[{n_hi}]", "queries": {}}
+    secs: dict[str, dict[int, float]] = {q: {} for q in _HEAVY_QUERIES}
+    for cores in (n_lo, n_hi):
+        stop_spark()
+        spark = get_spark(app_name=f"bench-qscaling-{cores}", cores=cores)
+        for q in _HEAVY_QUERIES:
+            _force(qmap[q](spark, sf_dir))  # untimed warm pass
+            reps = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                _force(qmap[q](spark, sf_dir))
+                reps.append(time.monotonic() - t0)
+            reps.sort()
+            secs[q][cores] = reps[len(reps) // 2]
+        stop_spark()
+    for q in _HEAVY_QUERIES:
+        lo, hi = secs[q][n_lo], secs[q][n_hi]
+        out["queries"][q] = {
+            f"local[{n_lo}]_sec": round(lo, 3),
+            f"local[{n_hi}]_sec": round(hi, 3),
+            "speedup": round(lo / hi, 3),
+            "scaling_efficiency": round(lo / hi / (n_hi / n_lo), 3),
+        }
+    return out
+
+
 def main() -> None:
+    # The driver parses stdout for the result JSON. Spark's JVM writes
+    # log/progress noise (including \r-rewritten lines) straight to fd 1,
+    # which broke the r03 parse. Guarantee the JSON is the ONLY bytes on
+    # the real stdout: save the inherited fd 1, point fd 1 at stderr
+    # BEFORE the JVM launches, and write the single JSON line to the
+    # saved fd at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _corpus_sf(sf_dir)
 
@@ -222,7 +285,12 @@ def main() -> None:
     if os.environ.get("BENCH_SCALING") == "1":
         scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "1.0"))
         payload["scaling"] = run_scaling(scaling_sf)
-    print(json.dumps(payload))
+    if os.environ.get("BENCH_QUERY_SCALING") == "1":
+        payload["query_scaling"] = run_query_scaling(sf_dir)
+    line = json.dumps(payload)
+    print(line, file=sys.stderr)  # human-readable copy in the log stream
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

@@ -238,7 +238,17 @@ def parse_isobmff_meta(payload: bytes) -> dict:
             iid = struct.unpack_from(">I", buf, p)[0]
             p += 4
         if ver in (1, 2):
-            p += 2  # construction_method (reserved+method)
+            # reserved(12) + construction_method(4): 0 = file offsets.
+            # method 1 (idat-relative) / 2 (item-relative) would make the
+            # extents below NOT file-absolute — refuse loudly rather than
+            # return wrong payload bytes for the item we're locating.
+            method = struct.unpack_from(">H", buf, p)[0] & 0xF
+            if method != 0 and iid == item_id:
+                raise ValueError(
+                    f"ISOBMFF: iloc construction_method {method} "
+                    "unsupported (only file-offset items)"
+                )
+            p += 2
         p += 2  # data_reference_index
         base = read_int(p, base_offset_size)
         p += base_offset_size

@@ -135,15 +135,28 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
-    """Grayscale uint8 image -> baseline JPEG bytes. `quant` is the
-    uniform quantization step (1 = near-lossless, |error| <= 2)."""
+def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1) -> bytes:
+    """Grayscale uint8 image -> baseline JPEG bytes.
+
+    `quant` is either a uniform quantization step (1 = near-lossless,
+    |error| <= 2) or a 64-entry table IN ZIGZAG ORDER — the order T.81
+    B.2.4.1 prescribes for the DQT payload, which is also how this
+    encoder writes it (so any external baseline decoder dequantizes our
+    streams correctly, and vice versa)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects a 2-D uint8 array")
     h, w = img.shape
     if not h or not w:
         raise ValueError("empty image")
-    qtab = np.full(64, quant, dtype=np.int64)
+    if np.isscalar(quant):
+        qtab_z = np.full(64, quant, dtype=np.int64)   # zigzag-ordered
+    else:
+        qtab_z = np.asarray(quant, dtype=np.int64).reshape(64)
+    if (qtab_z < 1).any() or (qtab_z > 255).any():
+        raise ValueError("quant steps must be in 1..255")
+    # the DCT coefficients are row-major; de-zigzag the table to divide
+    qt_rm = np.empty(64, dtype=np.int64)
+    qt_rm[ZIGZAG] = qtab_z
 
     # pad to 8x8 multiples with edge replication
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -151,7 +164,7 @@ def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
                     ((0, ph - h), (0, pw - w)), mode="edge")
     blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
     coeffs = np.einsum("ux,rcxy,vy->rcuv", _T, blocks, _T)
-    q = np.round(coeffs / qtab.reshape(8, 8)).astype(np.int64)
+    q = np.round(coeffs / qt_rm.reshape(8, 8)).astype(np.int64)
     zz = q.reshape(-1, 64)[:, ZIGZAG]  # (nblocks, 64) in zigzag order
 
     dc_codes = _canonical_codes(DC_BITS)
@@ -186,7 +199,7 @@ def encode_jpeg(img: np.ndarray, quant: int = 1) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(qtab[i]) for i in range(64)))
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(qtab_z[i]) for i in range(64)))
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     dht = seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
         0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
@@ -340,10 +353,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             zzflat[base + k] = v
             k += 1
 
+    # DQT tables are stored in zigzag order (T.81 B.2.4.1), same as the
+    # entropy-decoded coefficients — dequantize IN THE ZIGZAG DOMAIN, then
+    # scatter to row-major. (Multiplying after the scatter silently
+    # mis-dequantizes any stream with a non-uniform table.)
     zz = np.asarray(zzflat, dtype=np.int64).reshape(nblocks, 64)
+    zz *= qtab[None, :]
     q = np.zeros((nblocks, 64), dtype=np.int64)
     q[:, ZIGZAG] = zz
-    coeffs = (q * qtab[None, :]).reshape(nby, nbx, 8, 8).astype(np.float64)
+    coeffs = q.reshape(nby, nbx, 8, 8).astype(np.float64)
     blocks = np.einsum("xu,rcuv,yv->rcxy", _T.T, coeffs, _T.T)
     img = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]

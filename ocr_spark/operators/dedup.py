@@ -465,6 +465,12 @@ def neardup_components(
             F.col("id").alias("doc_id"),
             F.col("label").alias("component_id"),
         )
+    except BaseException:
+        # no frame is handed to the caller on the error path — release
+        # the final step too, or its cache leaks for the session
+        if steps:
+            steps[-1].unpersist(blocking=False)
+        raise
     finally:
         half.unpersist(blocking=False)
         edges.unpersist(blocking=False)

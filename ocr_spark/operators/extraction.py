@@ -74,13 +74,34 @@ def repartition_spans(spans: DataFrame, salt_buckets: int = 0) -> DataFrame:
 
 
 def extract_spans(
-    docs: DataFrame, blobs: DataFrame, salt_buckets: int = 0
+    docs: DataFrame, blobs: DataFrame, salt_buckets: int = 0,
+    broadcast_ok: bool = True,
 ) -> DataFrame:
     """Per-span extraction: (doc_id, offset, kind, text, media_ref).
 
     text = stripped main content for text spans, recognized text for media
     spans ('' for unresolvable refs — mirrors the reference's empty-OCR
     fallback, /root/reference/src/ocr/focus_pytesseract.py:49-55).
+
+    broadcast_ok: whether the distinct-ref set and the recognized
+    (media_ref, text) relation fit a broadcast. The in-row mode's budget
+    guard (extraction_inrow.py) passes False when they don't — the
+    cold-media regime. The invariant that holds in BOTH regimes is "pixel
+    bytes never cross an exchange" (pinned in tests/test_plans.py), NOT
+    "broadcast everything":
+
+      * True (hot media, the common web-corpus case): prune blobs with a
+        broadcast semi-join on the distinct refs, broadcast the small
+        recognized relation into the span join — zero shuffles on either.
+      * False (cold media, refs ~ spans): a shuffle semi-join to prune
+        blobs would EXCHANGE THE PIXEL COLUMN, and broadcasting the
+        corpus-sized recognized map would OOM the driver (the round-3
+        fallback defect). Instead skip the prune entirely — recognize
+        every blob map-side in its scan stage (cold media means the prune
+        saves little: most blobs are referenced) — and join the recognized
+        (ref, short text) output to spans with a plain shuffle join. Only
+        ref strings and short recognized text cross exchanges; unreferenced
+        blobs simply don't match the left join, so results are identical.
     """
     spans = repartition_spans(explode_spans(docs), salt_buckets)
 
@@ -93,16 +114,18 @@ def extract_spans(
     media_spans = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "kind", "media_ref"
     )
-    # broadcast both small sides explicitly: `needed` is a distinct-ref set
-    # and `recognized` is (media_ref, short text) — without the hints Spark
-    # may plan sort-merge joins that SHUFFLE PIXEL BYTES (observed: a
-    # 32-partition exchange of the blob table at sf1.0). Pixels must never
-    # leave their scan stage.
-    needed = media_spans.select("media_ref").distinct()
-    pruned = blobs.join(F.broadcast(needed), "media_ref", "left_semi")
-    recognized = recognize_blobs(pruned)
+    if broadcast_ok:
+        # broadcast both small sides explicitly: `needed` is a distinct-ref
+        # set and `recognized` is (media_ref, short text) — without the
+        # hints Spark may plan sort-merge joins that SHUFFLE PIXEL BYTES
+        # (observed: a 32-partition exchange of the blob table at sf1.0).
+        needed = media_spans.select("media_ref").distinct()
+        pruned = blobs.join(F.broadcast(needed), "media_ref", "left_semi")
+        recognized = F.broadcast(recognize_blobs(pruned))
+    else:
+        recognized = recognize_blobs(blobs)
     media_out = (
-        media_spans.join(F.broadcast(recognized), "media_ref", "left")
+        media_spans.join(recognized, "media_ref", "left")
         .select(
             "doc_id", "offset", "kind",
             F.coalesce("text", F.lit("")).alias("text"),
@@ -168,8 +191,10 @@ def reassemble(extracted: DataFrame, all_doc_ids: DataFrame) -> DataFrame:
 
 
 def run_extraction(
-    docs: DataFrame, blobs: DataFrame, salt_buckets: int = 0
+    docs: DataFrame, blobs: DataFrame, salt_buckets: int = 0,
+    broadcast_ok: bool = True,
 ) -> DataFrame:
     """documents_interleaved + media_blobs -> expected_spans-shaped result."""
-    extracted = extract_spans(docs, blobs, salt_buckets=salt_buckets)
+    extracted = extract_spans(
+        docs, blobs, salt_buckets=salt_buckets, broadcast_ok=broadcast_ok)
     return reassemble(extracted, docs)

@@ -50,6 +50,20 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+def exchange_inputs(df: DataFrame) -> list[str]:
+    """The Input column list of every Exchange node in the formatted plan.
+
+    Lets tests pin WHAT crosses each shuffle, not just how many shuffles
+    exist — e.g. "the pixel column never crosses an exchange" stays true
+    in both extraction regimes even though the cold-media plan has more
+    exchanges than the hot-media one.
+    """
+    plan = explain_formatted(df)
+    return re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+
+
 def whole_stage_codegen_ids(df: DataFrame) -> int:
     """How many WholeStageCodegen spans the plan compiled (wider = more of
     the plan stays in generated JVM code)."""

@@ -237,6 +237,10 @@ class SnapshotTable:
             "_b", _bucket_expr(key, self.n_buckets)
         ).persist()
         try:
+            # empty merge = no-op (no empty snapshot churn); the isEmpty
+            # scan runs through the cache the merge would use anyway
+            if updates.isEmpty():
+                return 0
             while True:
                 try:
                     return self._merge_once(updates, merge_exprs)

@@ -202,8 +202,10 @@ def stream_rate_alarms(
             .alias("ak"),
             "event_type", "hour", "n", "m", "mean_milli", "z2_milli",
         )
-        if not flags.isEmpty():
-            alarms_store.merge_upsert(flags)
+        # no isEmpty() pre-check: it would evaluate the whole flag decision
+        # a second time per micro-batch, and merge_upsert of an empty
+        # frame is already a no-op
+        alarms_store.merge_upsert(flags)
 
     return (
         events.writeStream.foreachBatch(_process)

@@ -125,3 +125,40 @@ def test_budget_guard_falls_back_to_shuffle_mode(spark, corpus):
     out2 = run_extraction_inrow(docs, blobs, max_est_bytes=10)
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan2
+
+
+def test_budget_guard_fallback_never_rebroadcasts(spark, corpus):
+    """Round-3 VERDICT defect: the shuffle-mode fallback used to force
+    F.broadcast on the same corpus-proportional recognized relation whose
+    size tripped the guard. Pin the fix: when the guard trips, NO
+    BroadcastExchange carries the recognized (media_ref, text) relation,
+    no exchange carries pixel bytes, and results are still exactly the
+    golden spans."""
+    import re
+
+    from ocr_spark.plans.checks import exchange_inputs, explain_formatted
+
+    docs, blobs, expected = corpus
+    # Distinguish a FORCED broadcast (the defect: an F.broadcast hint that
+    # overrides the planner even on a corpus-sized relation) from a
+    # stats-based planner choice (fine — at real scale the stats say huge
+    # and the planner won't pick it): with auto-broadcast disabled, only a
+    # hint can still produce a BroadcastExchange on the recognized side.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = run_extraction_inrow(docs, blobs, max_est_bytes=1)
+
+        # pixels never cross any exchange (the 100-TB invariant)
+        for cols in exchange_inputs(out):
+            assert "pixels" not in cols, cols
+        plan = explain_formatted(out)
+        for cols in re.findall(
+            r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+        ):
+            assert not ("media_ref" in cols and "text#" in cols), cols
+
+        assert _canon(out).exceptAll(_canon(expected)).count() == 0
+        assert out.count() == expected.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -84,6 +84,26 @@ def test_extraction_shuffle_budget(spark):
     assert n <= 3, f"shuffle budget exceeded: {n} exchanges"
 
 
+def test_extraction_no_pixel_exchange_both_regimes(spark):
+    """The invariant that holds in BOTH extraction regimes is 'pixel bytes
+    never cross an exchange' — not 'broadcast everything'. The hot-media
+    plan achieves it with broadcast hints; the cold-media (over-budget
+    fallback) plan achieves it by recognizing all blobs map-side and
+    shuffling only (ref, short text)."""
+    from ocr_spark.datagen import corpus_dir
+    from ocr_spark.operators.extraction import run_extraction
+    from ocr_spark.plans.checks import exchange_inputs
+
+    cdir = corpus_dir(0.001)
+    docs = spark.read.parquet(
+        os.path.join(cdir, "documents_interleaved.parquet"))
+    blobs = spark.read.parquet(os.path.join(cdir, "media_blobs.parquet"))
+    for broadcast_ok in (True, False):
+        out = run_extraction(docs, blobs, broadcast_ok=broadcast_ok)
+        for cols in exchange_inputs(out):
+            assert "pixels" not in cols, (broadcast_ok, cols)
+
+
 def test_inrow_extraction_has_no_doc_shuffle(spark):
     """In-row mode: zero hash exchanges in the main pass (the OCR-side
     distinct runs in its own tiny job)."""
