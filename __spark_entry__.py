@@ -961,6 +961,27 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(pairs, iters=2, check_converged=True)
 
 
+def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION connected-components variant: large-star/small-star
+    alternation (Kiveris et al. 2014) over the same MinHash-LSH pair
+    graph — O(log n) rounds regardless of component diameter, where the
+    fixed-round hash-min twin (dedup_components) covers diameter <= iters
+    and raises beyond. Until-fixpoint convergence means the result is the
+    EXACT component minimum, so the DuckDB oracle is the exact
+    transitive-closure min via a recursive CTE — full value-hash parity,
+    no unroll-depth coupling."""
+    from ocr_spark.operators.dedup import (
+        bigstar_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.9
+    )
+    return bigstar_components(pairs)
+
+
 def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: k-gram rolling hash +
     window-min selection. md5-derived hash family -> full DuckDB oracle."""
@@ -1323,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 1: never driver-checked before round 4 (r3 registry
         #    tail, cut by the driver's 50-query cap) + the ANN rows
         #    whose last driver rows (r02) were 0-row vacuous.
+        "dedup_components_bigstar": dedup_components_bigstar,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "semantic_dedup": semantic_dedup_q,
         "sketch_distinct_tokens": sketch_distinct_tokens,
@@ -1778,6 +1800,28 @@ def _dedup_components_oracle(iters: int = 4) -> str:
           SELECT DISTINCT src AS id, src AS label FROM edges
         ){rounds}
         SELECT id AS doc_id, label AS component_id FROM l{iters}
+    """
+
+
+def _bigstar_components_oracle() -> str:
+    """DuckDB twin of dedup.bigstar_components: because the Spark side
+    converges to a fixpoint (exact component minimum), the oracle is the
+    exact reachability minimum — a recursive CTE over the symmetric edge
+    set, min(r) per vertex. No unrolled-round coupling to maintain."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT e.src AS id, reach.r
+          FROM edges e JOIN reach ON e.dst = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS component_id
+        FROM reach GROUP BY id
     """
 
 
@@ -2718,6 +2762,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(iters=2),
+        "dedup_components_bigstar": _bigstar_components_oracle(),
         "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "bpe_learn": _bpe_oracle(3),

@@ -363,6 +363,90 @@ def test_neardup_components_unconverged_raises(spark):
     assert {r["component_id"] for r in ok.collect()} == {"v0"}
 
 
+def test_neardup_components_default_is_loud_on_deep_chains(spark):
+    """Round-3 VERDICT defect: check_converged defaulted OFF, so the
+    DEFAULT call on a chain deeper than `iters` silently under-merged.
+    Pin the new default: a 12-vertex path with the default arguments must
+    RAISE, never return fragmented components."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.dedup import neardup_components
+
+    chain = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(11)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(ValueError, match="still moving"):
+        neardup_components(chain).collect()  # all defaults
+
+
+def test_bigstar_components_long_chain_logarithmic_rounds(spark):
+    """The production CC variant: a planted 1000-vertex chain (diameter
+    999 — no fixed-round propagation covers it) converges in O(log n)
+    star rounds with every vertex labeled by the chain minimum."""
+    from ocr_spark.operators.dedup import _bigstar_edges, bigstar_components
+
+    n = 1000
+    chain = spark.createDataFrame(
+        [(f"v{i:04d}", f"v{i+1:04d}") for i in range(n - 1)],
+        ["id_a", "id_b"],
+    )
+    _, rounds = _bigstar_edges(chain, "id_a", "id_b", max_rounds=50)
+    assert rounds <= 30, f"{rounds} rounds for a {n}-chain — not O(log n)"
+
+    out = bigstar_components(chain)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["component_id"] for r in rows} == {"v0000"}
+    assert {r["doc_id"] for r in rows} == {f"v{i:04d}" for i in range(n)}
+
+
+def test_bigstar_equals_hashmin_on_random_graphs(spark):
+    """Both CC implementations must produce identical (doc_id,
+    component_id) assignments — the fixed-round one stays the SQL oracle,
+    the star one is the scale path."""
+    import random
+
+    from ocr_spark.operators.dedup import (
+        bigstar_components,
+        neardup_components,
+    )
+
+    rng = random.Random(41)
+    ids = [f"d{i:03d}" for i in range(120)]
+    pairs = [
+        (rng.choice(ids), rng.choice(ids)) for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = {
+        (r["doc_id"], r["component_id"])
+        for r in bigstar_components(df).collect()
+    }
+    b = {
+        (r["doc_id"], r["component_id"])
+        for r in neardup_components(df, iters=12,
+                                    check_converged=True).collect()
+    }
+    assert a == b
+
+
+def test_bigstar_components_islands_and_empty(spark):
+    from ocr_spark.operators.dedup import bigstar_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "e"), ("x", "x")], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in bigstar_components(pairs).collect()
+    }
+    # self-pair (x,x) contributes no edge -> x absent (contract)
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert bigstar_components(empty).count() == 0
+
+
 
 def test_ngram_contamination_planted(spark):
     from ocr_spark.operators.dedup import ngram_contamination
