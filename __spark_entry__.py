@@ -1267,6 +1267,25 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(_t(spark, sf_dir, "documents"))
 
 
+def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention cap (the per-domain/host cap of C4 and
+    RefinedWeb): keep the top-2 documents of each source by (quality
+    DESC, doc_id ASC). Spark side runs the two-phase salted top-k
+    (curate.cap_per_group) so a hot domain never lands in one task; the
+    subset-of-union argument makes it EXACTLY equal to the oracle's
+    single plain window. Non-vacuous at every driver SF (sources hold
+    2-3 docs at sf0.001, 25 at sf0.01 — the cap genuinely drops rows)."""
+    from ocr_spark.functions.textstats import quality_score
+    from ocr_spark.operators.curate import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    return cap_per_group(
+        docs, group_col="source", order_col="quality", id_col="doc_id", k=2
+    ).select("doc_id", "source", "quality", "rank")
+
+
 BM25_TERMS = ["spark", "join", "customer"]
 
 
@@ -1345,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tail, cut by the driver's 50-query cap) + the ANN rows
         #    whose last driver rows (r02) were 0-row vacuous.
         "dedup_components_bigstar": dedup_components_bigstar,
+        "curate_domain_cap": curate_domain_cap,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "semantic_dedup": semantic_dedup_q,
         "sketch_distinct_tokens": sketch_distinct_tokens,
@@ -2185,27 +2205,32 @@ def _graph_pagerank_oracle(iters: int = 3) -> str:
 # Shared CTE chain for the exact-substring family (Lee et al. 2022):
 # k=8 gram postings, df-cap 64, pair diagonals ending in CTE `r` whose
 # (doc_a, doc_b, diag, grp) groups are the maximal runs.
+# The postings key is the engine-neutral 60-bit md5 hash of the gram
+# (sketches.sql_hash60 twin of the Spark side's spark_hash60): the Spark
+# plan shuffles 8-byte keys instead of k-word strings, and hashing the
+# same way here keeps even the 2^-60 collision case bit-identical.
 _SUBSTRING_RUNS_CHAIN = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       FROM documents
     ), g AS (
       SELECT doc_id, i AS pos,
-             array_to_string(w[i:i+7], ' ') AS gram
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                             1, 15))::BIGINT AS gh
       FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
       WHERE len(w) >= 8
     ), ok AS (
-      SELECT gram FROM (
-        SELECT gram, count(DISTINCT doc_id) AS gram_df
-        FROM g GROUP BY gram
+      SELECT gh FROM (
+        SELECT gh, count(DISTINCT doc_id) AS gram_df
+        FROM g GROUP BY gh
       ) WHERE gram_df <= 64
     ), gg AS (
-      SELECT g.* FROM g JOIN ok USING (gram)
+      SELECT g.* FROM g JOIN ok USING (gh)
     ), p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.pos AS pa, b.pos AS pb
       FROM gg a JOIN gg b
-        ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ON a.gh = b.gh AND a.doc_id < b.doc_id
     ), r AS (
       SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
              pa - row_number() OVER (
@@ -2763,6 +2788,21 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(iters=2),
         "dedup_components_bigstar": _bigstar_components_oracle(),
+        "curate_domain_cap": f"""
+            WITH q AS ({_QUALITY_SELECT}),
+            j AS (
+              SELECT d.doc_id, d.source, q.quality
+              FROM documents d JOIN q USING (doc_id)
+            ), r AS (
+              SELECT doc_id, source, quality,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC
+                     ) AS rank
+              FROM j
+            )
+            SELECT doc_id, source, quality, rank FROM r WHERE rank <= 2
+        """,
         "layout_reading_order": _LAYOUT_READING_ORDER_ORACLE,
         "text_pii_scrub": _pii_scrub_oracle(),
         "bpe_learn": _bpe_oracle(3),

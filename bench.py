@@ -195,11 +195,15 @@ def run_scaling(sf: float) -> dict:
     return out
 
 
-# The 5 slowest suite queries per BENCH_r03 — all iterative or
-# multi-stage (persist/unpersist pressure), so their scaling behavior is
-# not predicted by the flagship's single-pass pipeline.
+# The slowest suite queries per BENCH_r03 — all iterative or multi-stage
+# (persist/unpersist pressure), so their scaling behavior is not
+# predicted by the flagship's single-pass pipeline. Components runs as
+# the PRODUCTION bigstar variant: the inflated scaling corpus creates
+# near-dup chains whose diameter exceeds the fixed-round query's unroll
+# (its convergence guard raises there — by design; the until-fixpoint
+# variant is exactly what production would run on such a graph).
 _HEAVY_QUERIES = (
-    "dedup_components",
+    "dedup_components_bigstar",
     "graph_pagerank",
     "nb_quality_classifier",
     "dedup_substring_runs",
@@ -207,36 +211,100 @@ _HEAVY_QUERIES = (
 )
 
 
+def _scaled_tables(sf_dir: str, mult: int) -> str:
+    """Deterministic xN inflation of the driver tables the heavy queries
+    read, for the per-query scaling pair.
+
+    At sf0.1 the heavy queries finish in 2-4 s — task scheduling and
+    shuffle-partition fixed costs dominate, so an 8 -> 32 pair measures
+    overhead, not the operator (three of five showed ANTI-scaling on the
+    raw sf0.1 input). Cloning each table `mult` times with keys remapped
+    as key*mult + rep (referential integrity preserved: orders.o_custkey
+    follows customer.c_custkey under the same formula and rep) gives a
+    compute-dominated input while staying fully derived from the
+    provided testdata — no external or random data. Text is prefixed
+    with a per-rep token so clones are near-dups (banded-LSH workload),
+    not 16-way exact clone cliques that would quadratically inflate the
+    pair graph beyond anything a real corpus produces.
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_spark.session import get_spark, stop_spark
+
+    out = f"/tmp/qscale_{mult}x_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    stop_spark()
+    spark = get_spark(app_name="bench-qscale-datagen", cores=32)
+    reps = spark.range(mult).withColumnRenamed("id", "rep")
+
+    def scale(name: str, keys: list[str], text_col: str | None = None):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = df.crossJoin(F.broadcast(reps))
+        for kcol in keys:
+            df = df.withColumn(kcol, F.col(kcol) * mult + F.col("rep"))
+        if text_col is not None:
+            df = df.withColumn(
+                text_col,
+                F.concat(F.format_string("rep%d ", "rep"), F.col(text_col)),
+            )
+        (df.drop("rep").repartition(32)
+           .write.mode("overwrite")
+           .parquet(os.path.join(out, f"{name}.parquet")))
+
+    scale("documents", ["doc_id"], text_col="text")
+    scale("customer", ["c_custkey"])
+    scale("supplier", ["s_suppkey"])
+    scale("orders", ["o_orderkey", "o_custkey"])
+    scale("lineitem", ["l_orderkey", "l_suppkey"])
+    stop_spark()
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(f"mult={mult} src={sf_dir}\n")
+    return out
+
+
 def run_query_scaling(sf_dir: str) -> dict:
     """Per-query scaling pair for the heaviest suite queries.
 
     Runs each of _HEAVY_QUERIES at local[8] and local[32] on the same
-    parquet input (one untimed warm pass then median of 3 timed reps per
-    core count) and reports per-query throughput ratio / 4 — the same
-    N->4N evidence the flagship has, extended to the iterative-loop
-    operators whose persist/unpersist pressure the flagship can't probe.
+    deterministically inflated input (one untimed warm pass then median
+    of 3 timed reps per core count) and reports per-query throughput
+    ratio / 4 — the same N->4N evidence the flagship has, extended to
+    the iterative-loop operators whose persist/unpersist pressure the
+    flagship can't probe.
     """
     import __spark_entry__ as entrymod
 
     from ocr_spark.session import get_spark, stop_spark
 
     pair = os.environ.get("BENCH_SCALING_CORES", "8,32")
+    mult = int(os.environ.get("BENCH_QSCALE_MULT", "64"))
+    n_reps = int(os.environ.get("BENCH_QSCALE_REPS", "3"))
     n_lo, n_hi = (int(x) for x in pair.split(","))
+    data_dir = _scaled_tables(sf_dir, mult) if mult > 1 else sf_dir
     qmap = entrymod.queries()
-    out: dict = {"pair": f"local[{n_lo}] -> local[{n_hi}]", "queries": {}}
+    out: dict = {
+        "pair": f"local[{n_lo}] -> local[{n_hi}]",
+        "input": f"{data_dir} ({mult}x {sf_dir})",
+        "queries": {},
+    }
     secs: dict[str, dict[int, float]] = {q: {} for q in _HEAVY_QUERIES}
     for cores in (n_lo, n_hi):
         stop_spark()
         spark = get_spark(app_name=f"bench-qscaling-{cores}", cores=cores)
         for q in _HEAVY_QUERIES:
-            _force(qmap[q](spark, sf_dir))  # untimed warm pass
+            _force(qmap[q](spark, data_dir))  # untimed warm pass
             reps = []
-            for _ in range(3):
+            for _ in range(n_reps):
                 t0 = time.monotonic()
-                _force(qmap[q](spark, sf_dir))
+                _force(qmap[q](spark, data_dir))
                 reps.append(time.monotonic() - t0)
             reps.sort()
-            secs[q][cores] = reps[len(reps) // 2]
+            # lower median: with an even rep count, len//2 would report
+            # the WORSE half (max of 2) — noise-asymmetric on this VM,
+            # where contamination only ever inflates
+            secs[q][cores] = reps[(len(reps) - 1) // 2]
         stop_spark()
     for q in _HEAVY_QUERIES:
         lo, hi = secs[q][n_lo], secs[q][n_hi]

@@ -472,3 +472,64 @@ def curation_funnel(
         "doc_id", "quality", "dup_word_frac", "entropy_micro",
         "n_tokens", verdict.alias("verdict"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-group retention cap: keep the top-``k`` rows of each group by
+    (``order_col`` DESC, ``id_col`` ASC) — the per-domain cap every web
+    curation pipeline applies so a handful of enormous hosts (forums,
+    wikis, mirror farms) cannot dominate the training mix (Common Crawl
+    practice; C4 and RefinedWeb both cap per-host document counts).
+
+    Scale shape (the part a naive single window gets wrong): one global
+    ``row_number() OVER (PARTITION BY group)`` puts an entire hot domain
+    in ONE task — at 100 TB a mirror farm with 10^9 pages is a straggler
+    that never finishes. This runs the standard two-phase top-k instead:
+
+      1. rank within (group, salt) where salt = hash(id) % salt_buckets —
+         the hot group is spread over ``salt_buckets`` tasks, each keeps
+         its local top-k;
+      2. rank the survivors within group — at most salt_buckets * k rows
+         per group reach this stage, so the second window is bounded by
+         construction, never by the domain's size.
+
+    The global top-k is a subset of the union of per-salt top-k's (any
+    row in the true top-k is in the top-k of its own salt slice), so the
+    two-phase result is EXACTLY the single-window result — which is what
+    the DuckDB oracle computes with one plain window. Deterministic total
+    order via the (order DESC, id ASC) tie-break.
+
+    Returns the kept rows with a ``rank`` column (1-based, long).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)),
+    )
+    w_local = Window.partitionBy(group_col, "_salt").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        salted.withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    w_global = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn(
+            "rank", F.row_number().over(w_global).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -699,8 +699,14 @@ def shared_substring_runs(
     rows; runs shorter than k tokens are invisible by construction
     (k is the detection threshold, as in the paper).
 
-    Scale shape: postings shuffle once on the gram; the self-join and
-    the df-cap aggregate reuse that partitioning. `max_df` drops grams
+    Scale shape: postings shuffle once on the gram KEY; the self-join
+    and the df-cap aggregate reuse that partitioning. The key is the
+    engine-neutral 60-bit md5 hash of the gram, not the k-word string —
+    the shuffled posting row shrinks from ~60 bytes of text to 8 bytes
+    of key, and the 2^-60 collision odds are reproduced identically on
+    both engines (the oracle hashes the same way), so results stay
+    bit-identical engine-to-engine even in the astronomically-unlikely
+    collision case. `max_df` drops grams
     appearing in more than max_df documents BEFORE the join — the
     paper's own mitigation for boilerplate n-grams whose posting lists
     would otherwise square. The cap is a recall bound, not a silent
@@ -710,6 +716,8 @@ def shared_substring_runs(
     window partitions by (pair, diagonal) — key cardinality is the
     match volume, not the corpus.
     """
+    from ..functions.sketches import spark_hash60
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), WS_SPLIT).alias("w"),
@@ -722,19 +730,22 @@ def shared_substring_runs(
                 lambda i: F.concat_ws(" ", F.slice("w", i, k)),
             )
         ).alias("idx", "gram"),
-    ).select("id", (F.col("idx") + 1).alias("pos"), "gram")
+    ).select(
+        "id", (F.col("idx") + 1).alias("pos"),
+        spark_hash60("gram").alias("gh"),
+    )
     ok = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.count_distinct("id").alias("gram_df"))
         .filter(F.col("gram_df") <= max_df)
-        .select("gram")
+        .select("gh")
     )
-    gg = grams.join(ok, "gram")
+    gg = grams.join(ok, "gh")
     a = gg.select(F.col("id").alias("doc_a"), F.col("pos").alias("pa"),
-                  "gram")
+                  "gh")
     b = gg.select(F.col("id").alias("doc_b"), F.col("pos").alias("pb"),
-                  "gram")
-    pairs = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+                  "gh")
+    pairs = a.join(b, "gh").filter(F.col("doc_a") < F.col("doc_b"))
     from pyspark.sql import Window
 
     diag = (F.col("pa") - F.col("pb")).alias("diag")

@@ -87,6 +87,8 @@ NON_VACUOUS = [
     "emb_neardup_pairs",
     "emb_neardup_lsh",
     "semantic_dedup",
+    "dedup_components_bigstar",
+    "curate_domain_cap",
 ]
 
 

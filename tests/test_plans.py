@@ -190,6 +190,16 @@ def test_stratified_sample_single_exchange(spark):
     assert exchange_count(df) == 1, executed_plan(df)
 
 
+def test_domain_cap_two_bounded_exchanges_no_python(spark):
+    """Two-phase salted top-k: exactly two hash exchanges — (group, salt)
+    for the local prune, then (group) over at most salt_buckets * k rows
+    per group. No Python evaluation node (quality_score is JVM exprs)."""
+    df = entry_mod.curate_domain_cap(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert exchange_count(df) == 2, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_pii_scrub_no_exchange_no_python(spark):
     """PII redaction is a pure JVM projection: no shuffle at all, and no
     Python evaluation node in the plan."""
@@ -273,16 +283,19 @@ def test_histogram_percentile_sketch_exchange_budget(spark):
 
 def test_substring_runs_single_postings_shuffle_key(spark):
     """Exact-substring detection: the corpus-sized shuffles are keyed by
-    the gram (postings + df-cap + self-join all co-partitioned); the
-    only other keys allowed are the island window's pair+diagonal and
-    its aggregate — a doc-keyed or unkeyed corpus exchange would mean
-    the join drifted off the postings layout."""
+    the 60-bit gram hash `gh` — an 8-byte key, not the k-word string —
+    (postings + df-cap + self-join all co-partitioned); the only other
+    keys allowed are the island window's pair+diagonal and its
+    aggregate — a doc-keyed or unkeyed corpus exchange would mean the
+    join drifted off the postings layout."""
     df = entry_mod.dedup_substring_runs(spark, SF_DIR)
     plan = executed_plan(df)
     parts = [l for l in plan.splitlines()
              if "Exchange hashpartitioning" in l]
     assert parts, plan
     for line in parts:
-        assert ("gram" in line) or ("doc_a" in line and "diag" in line), (
+        assert ("gh" in line) or ("doc_a" in line and "diag" in line), (
             line
         )
+    # the gram STRING must not be a shuffle key anywhere
+    assert not any("gram#" in line for line in parts), parts
