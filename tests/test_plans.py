@@ -100,7 +100,12 @@ def test_extraction_no_pixel_exchange_both_regimes(spark):
     blobs = spark.read.parquet(os.path.join(cdir, "media_blobs.parquet"))
     for broadcast_ok in (True, False):
         out = run_extraction(docs, blobs, broadcast_ok=broadcast_ok)
-        for cols in exchange_inputs(out):
+        inputs = exchange_inputs(out)
+        # both regimes shuffle at least the reassembly — an empty list
+        # would mean the Exchange-Input regex went vacuous, not that the
+        # plan is shuffle-free
+        assert inputs, "exchange_inputs matched nothing"
+        for cols in inputs:
             assert "pixels" not in cols, (broadcast_ok, cols)
 
 
