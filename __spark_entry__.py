@@ -982,6 +982,34 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigstar_components(pairs)
 
 
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (SlimPajama/FineWeb): exact
+    near-dup components (large-star/small-star fixpoint over the
+    MinHash-LSH pair graph) -> keep the highest-quality doc per cluster,
+    tie-break lowest doc_id; unpaired docs are singletons. Quality rides
+    the shared 4-dp heuristic on a x10000 BIGINT grid so the argmax
+    never compares floats. Full DuckDB oracle: recursive-CTE exact
+    component minimum + the quality CTE + one ranking window."""
+    from ocr_spark.functions.textstats import quality_score
+    from ocr_spark.operators.dedup import (
+        bigstar_components,
+        cluster_keep_best,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.9
+    )
+    labels = bigstar_components(pairs)
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text") * 10000).cast("long").alias("q10k"),
+    )
+    return cluster_keep_best(scored, labels, id_col="doc_id",
+                             score_col="q10k")
+
+
 def text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: k-gram rolling hash +
     window-min selection. md5-derived hash family -> full DuckDB oracle."""
@@ -1364,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tail, cut by the driver's 50-query cap) + the ANN rows
         #    whose last driver rows (r02) were 0-row vacuous.
         "dedup_components_bigstar": dedup_components_bigstar,
+        "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "curate_domain_cap": curate_domain_cap,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "semantic_dedup": semantic_dedup_q,
@@ -2788,6 +2817,30 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_components": _dedup_components_oracle(iters=2),
         "dedup_components_bigstar": _bigstar_components_oracle(),
+        "dedup_cluster_keep_best": f"""
+            WITH comp AS ({_bigstar_components_oracle()}
+            ), qual AS ({_QUALITY_SELECT}
+            ), lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component_id, d.doc_id) AS component_id,
+                     CAST(round(q.quality * 10000) AS BIGINT) AS q10k
+              FROM documents d
+              LEFT JOIN comp c USING (doc_id)
+              JOIN qual q USING (doc_id)
+            ), w AS (
+              SELECT doc_id, component_id,
+                     count(*) OVER (PARTITION BY component_id)
+                       AS cluster_size,
+                     row_number() OVER (
+                       PARTITION BY component_id
+                       ORDER BY q10k DESC, doc_id ASC
+                     ) AS rn
+              FROM lab
+            )
+            SELECT doc_id, component_id, cluster_size,
+                   (rn = 1) AS keep
+            FROM w
+        """,
         "curate_domain_cap": f"""
             WITH q AS ({_QUALITY_SELECT}),
             j AS (

@@ -863,3 +863,65 @@ def trim_duplicate_substrings(
         .select(F.col("id").alias("doc_id"), "n_tokens_before",
                 "n_removed", "trimmed_text")
     )
+
+
+def cluster_keep_best(
+    scored: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "q10k",
+) -> DataFrame:
+    """Cluster-representative selection: per near-dup cluster, keep the
+    single highest-scoring document (ties: lowest id) and flag the rest
+    as drops — the step SlimPajama/FineWeb-style pipelines run after
+    connected components, so dedup removes the WORST copy of a page,
+    not an arbitrary one (reference analog: the first-occurrence
+    discipline of src/ocr/cli.js:21-27, upgraded from "first seen" to
+    "best scored").
+
+    Inputs: `scored` = (id, score) for EVERY document (score must be an
+    integer grid — no float comparisons); `labels` = (doc_id,
+    component_id) from `neardup_components`/`bigstar_components`, which
+    only covers documents that appear in the pair graph. Unpaired
+    documents become singleton clusters of themselves.
+
+    Output: (id, component_id, cluster_size, keep).
+
+    Scale shape: `labels` is pair-graph-sized (collision docs only,
+    corpus-small); the left join shuffles on the id. The per-cluster
+    argmax is ONE keyed aggregate — max(struct(score, -id)) with
+    map-side partial combine — never a window over the cluster
+    partition, so a mirror-farm mega-cluster costs one combiner cell,
+    not a single-task sort. The winners relation (one row per cluster)
+    joins back on component_id carrying three longs per row; document
+    text never enters any exchange.
+    """
+    lab = (
+        scored.join(labels.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn(
+            "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
+        )
+    )
+    winners = (
+        lab.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component_id",
+            "cluster_size",
+            (-F.col("best.neg_id")).alias("winner_id"),
+        )
+    )
+    return lab.join(winners, "component_id").select(
+        F.col(id_col),
+        "component_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("winner_id")).alias("keep"),
+    )

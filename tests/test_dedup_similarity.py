@@ -647,3 +647,40 @@ def test_semantic_contamination_planted(spark):
     assert out[10]["max_sim"] > 0.97
     # exact tie between eval 1 and 2 resolves to the smaller id
     assert out[12]["matched_eval_id"] == 1
+
+
+def test_cluster_keep_best_planted(spark):
+    """Representative selection: winner = argmax score, ties -> lowest
+    id; unpaired docs are singleton keeps; cluster_size counts members."""
+    from ocr_spark.operators.dedup import cluster_keep_best
+
+    scored = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (4, 10), (5, 70)],
+        ["doc_id", "q10k"],
+    )
+    # components: {1,2,3} labeled 1; {4} labeled 4; doc 5 unpaired
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        ["doc_id", "component_id"],
+    )
+    out = {r["doc_id"]: r for r in cluster_keep_best(
+        scored, labels).collect()}
+    assert len(out) == 5
+    # 2 and 3 tie on score -> lowest id (2) wins
+    assert out[2]["keep"] and not out[3]["keep"] and not out[1]["keep"]
+    assert out[1]["cluster_size"] == 3
+    # singleton-by-label and unpaired-singleton both keep themselves
+    assert out[4]["keep"] and out[4]["cluster_size"] == 1
+    assert out[5]["keep"] and out[5]["component_id"] == 5
+
+
+def test_cluster_keep_best_drops_nonvacuous(spark):
+    """On the driver corpus the planted near-dup clusters must produce
+    actual drops (keep = false rows) — the query is calibrated, not a
+    trivially-all-keep verdict."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["dedup_cluster_keep_best"](
+        spark, "/root/testdata/sf0.001")
+    dropped = out.filter(~out["keep"]).count()
+    assert dropped > 0

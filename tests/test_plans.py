@@ -304,3 +304,19 @@ def test_substring_runs_single_postings_shuffle_key(spark):
         )
     # the gram STRING must not be a shuffle key anywhere
     assert not any("gram#" in line for line in parts), parts
+
+
+def test_cluster_keep_best_aggregate_not_window(spark):
+    """The per-cluster argmax is a keyed AGGREGATE (map-side partial
+    combine), never a Window over the cluster partition — a mirror-farm
+    mega-cluster must cost one combiner cell, not one task-local sort.
+    No Python node anywhere (quality is JVM exprs); document text never
+    enters an exchange (only ids/scores/hashes shuffle)."""
+    from ocr_spark.plans.checks import exchange_inputs
+
+    df = entry_mod.dedup_cluster_keep_best(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    for cols in exchange_inputs(df):
+        assert "text" not in cols, cols
