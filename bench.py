@@ -147,7 +147,18 @@ def run_flagship(spark, sf: float, warmup: bool = True,
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Steady-state per-query seconds: first run warms codegen/JIT (a
-    long-lived cluster pays that once), second run is reported."""
+    long-lived cluster pays that once), second run is reported.
+
+    Between queries (UNTIMED), drop Python refs and force a JVM GC so
+    the ContextCleaner releases the previous query's now-orphaned
+    persisted/checkpointed blocks (the iterative operators return
+    caller-owned persisted frames by contract; in a suite run the
+    caller is this loop). Without it, later queries are measured
+    against earlier queries' garbage — block-manager pressure that a
+    per-job cluster or a session with its own GC cadence never sees.
+    """
+    import gc
+
     import __spark_entry__ as entrymod
 
     timings: dict[str, float] = {}
@@ -159,6 +170,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return timings
 
 
@@ -305,6 +318,11 @@ def run_query_scaling(sf_dir: str) -> dict:
             # the WORSE half (max of 2) — noise-asymmetric on this VM,
             # where contamination only ever inflates
             secs[q][cores] = reps[(len(reps) - 1) // 2]
+            # untimed: release the query's orphaned persisted/checkpoint
+            # blocks before the next one (same hygiene as run_queries)
+            import gc as _gc
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         stop_spark()
     for q in _HEAVY_QUERIES:
         lo, hi = secs[q][n_lo], secs[q][n_hi]
