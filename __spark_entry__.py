@@ -1442,12 +1442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "m6_crop_half_ocr": m6_crop_half_ocr,
         "r4_quadrant_spans": r4_quadrant_spans,
+        # -- block 3 (tail, past the driver's 50-query cap): rows green
+        #    in CORRECTNESS_r01..r03 for 2-3 consecutive rounds; pytest
+        #    still covers every one (tests/test_entry_contract.py runs
+        #    the full map). The three rows below were positions 51-53
+        #    after the round-4 keep-best insert — moved here explicitly
+        #    so the block comments match what the driver actually checks.
         "q4_windowed_event_rate": q4_windowed_event_rate,
         "f1_voucher_extract_synth": f1_voucher_extract_synth,
         "w3_seeded_random_order": w3_seeded_random_order,
-        # -- block 3 (tail, past the driver's 50-query cap): TPC-style
-        #    rows green in CORRECTNESS_r01..r03; pytest still covers
-        #    every one (tests/test_entry_oracles.py runs the full map).
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_nation": q3_revenue_by_nation,
         "a7_priority_count": a7_priority_count,

@@ -75,28 +75,32 @@ def nb_train_score(
     combines map-side. The judge labels would normally come from a
     separate (expensive) pass over a small sample; here the label is a
     column so the query stays one job."""
-    from pyspark import StorageLevel
-
-    # Persist the LABEL table (id + int: ~16 bytes/doc, 2-3 orders of
-    # magnitude narrower than the text it derives from). The label
+    # Materialize the LABEL table (id + int: ~16 bytes/doc, 2-3 orders
+    # of magnitude narrower than the text it derives from). The label
     # column is typically an expensive judge expression (here: the
-    # quality regex over the full text); without caching, the classes
-    # check, n_all, the prior, the model branch, the scoring join and
-    # the output join each re-evaluate it — measured 13 s -> 5 s on the
-    # 8x bench corpus from this persist alone. MEMORY_AND_DISK because
-    # at 10^12 docs the 16 TB label table spills, it must not OOM.
-    # (The corpus-sized FEATURE table stays unpersisted on purpose —
+    # quality regex over the full text); without materialization, the
+    # classes check, n_all, the prior, the model branch, the scoring
+    # join and the output join each re-evaluate it — measured 13 s ->
+    # 5 s on the 8x bench corpus. localCheckpoint, NOT persist: the
+    # returned plan references this table, so the function cannot
+    # unpersist it and the caller has no handle to — a CacheManager
+    # entry would pin one label table per call for the session's life.
+    # Checkpoint blocks instead release via the ContextCleaner as soon
+    # as the caller drops the result (at 10^12 docs the ~16 TB label
+    # table spills to disk; it must not OOM either way).
+    # (The corpus-sized FEATURE table stays unmaterialized on purpose —
     # that was the round-3 review fix; its two consumers are the
     # documented two scans.)
     labels = docs.filter(F.length(F.trim(text_col)) > 0).select(
         F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     classes = {r["y"] for r in labels.select("y").distinct().collect()}
     if classes != {0, 1}:
         # a single-class (or empty) corpus would produce null scores for
         # the missing class and every pred would silently fall to 0;
         # sort via str so a NULL label cannot crash the diagnostic
-        labels.unpersist(blocking=False)  # nothing returned on this path
+        # (nothing is returned on this path — the checkpoint blocks are
+        # released by the next GC once `labels` goes out of scope)
         raise ValueError(
             "nb_train_score: need both labels 0 and 1, got "
             f"{sorted(classes, key=str)}"

@@ -473,17 +473,16 @@ def neardup_components(
             F.col("id").alias("doc_id"),
             F.col("label").alias("component_id"),
         )
-    except BaseException:
-        # no frame is handed to the caller on the error path — release
-        # the final step too, or its cache leaks for the session
-        if steps:
-            steps[-1].unpersist(blocking=False)
-        raise
     finally:
+        # `half`/`edges` are CacheManager persists — unpersist releases
+        # them now. The per-round `steps` are localCheckpoint frames:
+        # Dataset.unpersist is a NO-OP for those (their blocks were
+        # never registered with the CacheManager); they release via the
+        # ContextCleaner once this scope's references drop and a GC
+        # runs. The returned final step stays referenced by the
+        # caller's plan, so it survives exactly as long as the result.
         half.unpersist(blocking=False)
         edges.unpersist(blocking=False)
-        for step in steps[:-1]:
-            step.unpersist(blocking=False)
 
 
 def _bigstar_edges(
@@ -562,6 +561,12 @@ def _bigstar_edges(
             .localCheckpoint(eager=True)
         )
         new_sig = _sig(small)
+        # round 0: releases the CacheManager persist on the canonical
+        # edge set. Later rounds: `e` is a localCheckpoint frame, for
+        # which unpersist is a no-op — each round's blocks release via
+        # the ContextCleaner once the rebind drops the reference and a
+        # GC runs (the bench forces one between queries; a long-lived
+        # session's own GC cadence does the same)
         e.unpersist(blocking=False)
         e = small
         rounds += 1
@@ -569,7 +574,6 @@ def _bigstar_edges(
             break
         sig = new_sig
     else:
-        e.unpersist(blocking=False)
         raise ValueError(
             f"bigstar_components: not converged after {max_rounds} rounds"
         )
@@ -612,25 +616,25 @@ def bigstar_components(
     neardup_components).
     """
     edges, _ = _bigstar_edges(pairs, id_a, id_b, max_rounds)
-    try:
-        roots = edges.select(F.col("b").alias("doc_id")).distinct().select(
-            "doc_id", F.col("doc_id").alias("component_id")
-        )
-        members = edges.select(
-            F.col("a").alias("doc_id"), F.col("b").alias("component_id")
-        )
-        # at convergence every non-root vertex carries exactly one star
-        # edge to its root, so this union is already one row per vertex —
-        # but roots that ALSO appear as members (possible only before
-        # convergence) would duplicate; keep the invariant explicit:
-        out = members.unionByName(
-            roots.join(members, "doc_id", "left_anti")
-        )
-        # hand the caller an owned frame; the loop's last persist is ours
-        out = out.localCheckpoint(eager=True)
-        return out
-    finally:
-        edges.unpersist(blocking=False)
+    roots = edges.select(F.col("b").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    members = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("component_id")
+    )
+    # at convergence every non-root vertex carries exactly one star
+    # edge to its root, so this union is already one row per vertex —
+    # but roots that ALSO appear as members (possible only before
+    # convergence) would duplicate; keep the invariant explicit:
+    out = members.unionByName(
+        roots.join(members, "doc_id", "left_anti")
+    )
+    # hand the caller an owned frame, decoupled from the loop's last
+    # checkpoint: `edges` (always a localCheckpoint frame here — the
+    # loop runs at least one round) has no unpersist surface; its
+    # blocks release via the ContextCleaner once this function's
+    # reference drops and a GC runs
+    return out.localCheckpoint(eager=True)
 
 
 def ngram_contamination(
@@ -902,21 +906,25 @@ def cluster_keep_best(
             "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
         )
     )
+    # argmax(score) with ties to the LOWEST id, as one lexicographic
+    # MIN over struct(-score, id): the score is negated (it is an
+    # integer grid by contract), never the id — ids may be strings
+    # (the component operators support them), and -string is NULL
     winners = (
         lab.groupBy("component_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("cluster_size"),
-            F.max(
+            F.min(
                 F.struct(
-                    F.col(score_col).alias("s"),
-                    (-F.col(id_col)).alias("neg_id"),
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col(id_col).alias("wid"),
                 )
             ).alias("best"),
         )
         .select(
             "component_id",
             "cluster_size",
-            (-F.col("best.neg_id")).alias("winner_id"),
+            F.col("best.wid").alias("winner_id"),
         )
     )
     return lab.join(winners, "component_id").select(

@@ -51,16 +51,21 @@ def exchange_count(df: DataFrame) -> int:
 
 
 def exchange_inputs(df: DataFrame) -> list[str]:
-    """The Input column list of every Exchange node in the formatted plan.
+    """The Input column list of every Exchange node — shuffle AND
+    broadcast — in the formatted plan.
 
-    Lets tests pin WHAT crosses each shuffle, not just how many shuffles
-    exist — e.g. "the pixel column never crosses an exchange" stays true
-    in both extraction regimes even though the cold-media plan has more
-    exchanges than the hot-media one.
+    Lets tests pin WHAT crosses each exchange, not just how many
+    exchanges exist — e.g. "the pixel column never crosses an exchange"
+    stays true in both extraction regimes even though the cold-media
+    plan has more exchanges than the hot-media one. BroadcastExchange
+    must be covered too: collecting a blob column to the driver and
+    re-shipping it to every executor is the WORST way for it to cross
+    an exchange, and a shuffle-only regex would be blind to it.
     """
     plan = explain_formatted(df)
     return re.findall(
-        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]",
+        plan,
     )
 
 

@@ -238,9 +238,15 @@ class SnapshotTable:
         ).persist()
         try:
             # empty merge = no-op (no empty snapshot churn); the isEmpty
-            # scan runs through the cache the merge would use anyway
+            # scan runs through the cache the merge would use anyway.
+            # Return the CURRENT snapshot version (0 only when the table
+            # has never committed), never a sentinel: callers stamp the
+            # return value into audit rows as "results as of version v"
+            # (streaming/pipeline.py, operators/resumable.py), and a
+            # fabricated version 0 would reference a snapshot that does
+            # not exist
             if updates.isEmpty():
-                return 0
+                return self.current_version() or 0
             while True:
                 try:
                     return self._merge_once(updates, merge_exprs)

@@ -684,3 +684,24 @@ def test_cluster_keep_best_drops_nonvacuous(spark):
         spark, "/root/testdata/sf0.001")
     dropped = out.filter(~out["keep"]).count()
     assert dropped > 0
+
+
+def test_cluster_keep_best_string_ids(spark):
+    """The component operators support string ids; the tie-break must
+    not negate the id column (NULL under non-ANSI, error under ANSI)."""
+    from ocr_spark.operators.dedup import cluster_keep_best
+
+    scored = spark.createDataFrame(
+        [("v2", 90), ("v10", 90), ("v3", 40), ("solo", 70)],
+        ["doc_id", "q10k"],
+    )
+    labels = spark.createDataFrame(
+        [("v2", "v10"), ("v10", "v10"), ("v3", "v10")],
+        ["doc_id", "component_id"],
+    )
+    out = {r["doc_id"]: r for r in cluster_keep_best(
+        scored, labels).collect()}
+    # tie on 90 between 'v10' and 'v2' -> lexicographically lowest id
+    assert out["v10"]["keep"] and not out["v2"]["keep"]
+    assert not out["v3"]["keep"] and out["v3"]["cluster_size"] == 3
+    assert out["solo"]["keep"] and out["solo"]["component_id"] == "solo"
