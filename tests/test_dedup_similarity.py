@@ -705,3 +705,53 @@ def test_cluster_keep_best_string_ids(spark):
     assert out["v10"]["keep"] and not out["v2"]["keep"]
     assert not out["v3"]["keep"] and out["v3"]["cluster_size"] == 3
     assert out["solo"]["keep"] and out["solo"]["component_id"] == "solo"
+
+
+def test_cluster_keep_best_random_vs_reference(spark):
+    """Randomized invariant check against a pure-Python reference:
+    exactly one keep per component, the keep is the (max score, min id)
+    member, every input id appears exactly once, and cluster_size
+    matches the membership count."""
+    import random
+
+    from ocr_spark.operators.dedup import cluster_keep_best
+
+    rng = random.Random(13)
+    n = 200
+    ids = [f"d{i:03d}" for i in range(n)]
+    scores = {i: rng.randrange(0, 50) for i in ids}
+    # random partition into components of size 1-8 over a subset;
+    # ~30% of ids stay unlabeled (singletons by coalesce)
+    labeled = [i for i in ids if rng.random() < 0.7]
+    rng.shuffle(labeled)
+    comp_of = {}
+    k = 0
+    while k < len(labeled):
+        size = rng.randint(1, 8)
+        group = labeled[k:k + size]
+        root = min(group)
+        for m in group:
+            comp_of[m] = root
+        k += size
+
+    scored = spark.createDataFrame(
+        [(i, scores[i]) for i in ids], ["doc_id", "q10k"])
+    labels = spark.createDataFrame(
+        list(comp_of.items()), ["doc_id", "component_id"])
+    out = cluster_keep_best(scored, labels).collect()
+
+    # pure-Python reference
+    members: dict[str, list[str]] = {}
+    for i in ids:
+        members.setdefault(comp_of.get(i, i), []).append(i)
+    expect_keep = {
+        comp: min(ms, key=lambda m: (-scores[m], m))
+        for comp, ms in members.items()
+    }
+
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    for r in out:
+        comp = comp_of.get(r["doc_id"], r["doc_id"])
+        assert r["component_id"] == comp
+        assert r["cluster_size"] == len(members[comp])
+        assert r["keep"] == (r["doc_id"] == expect_keep[comp])
