@@ -933,3 +933,68 @@ def cluster_keep_best(
         "cluster_size",
         (F.col(id_col) == F.col("winner_id")).alias("keep"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact line-level deduplication, keep-first (the
+    RefinedWeb/Dolma rewrite rule: a line that occurs anywhere else in
+    the corpus survives only at its first occurrence — boilerplate
+    footers, cookie banners and navigation chrome collapse to one copy
+    corpus-wide). First = lowest (id, position), the same
+    first-occurrence discipline as the reference's dedup
+    (/root/reference/src/ocr/cli.js:21-27), applied per line instead of
+    per code.
+
+    Returns (id, n_lines_before, n_removed, cleaned_text) with
+    cleaned_text preserving the surviving lines in document order
+    (empty string when every line loses).
+
+    Scale shape: one explode to (id, pos, line); the keeper per line is
+    ONE keyed aggregate — min(struct(id, pos)) with map-side partial
+    combine, never a window over the line partition, so a
+    corpus-universal footer line costs a combiner cell, not a
+    single-task sort. The join back on `line` is keeper(1 row/distinct
+    line) x occurrences; a universally-duplicated line makes that a hot
+    key on the probe side only — AQE skew-join splits it. Reassembly is
+    the same order-preserving collect as trim_duplicate_substrings.
+    Every line participates (blank lines too); callers wanting to
+    exempt chrome-free lines filter before calling.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct(F.col("id").alias("kid"),
+                       F.col("pos").alias("kpos"))).alias("first")
+    )
+    tagged = lines.join(keepers, "line").withColumn(
+        "kept",
+        (F.col("id") == F.col("first.kid"))
+        & (F.col("pos") == F.col("first.kpos")),
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines_before"),
+            F.sum((~F.col("kept")).cast("long")).cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("cleaned_text"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_lines_before",
+                "n_removed", "cleaned_text")
+    )

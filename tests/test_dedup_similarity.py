@@ -755,3 +755,36 @@ def test_cluster_keep_best_random_vs_reference(spark):
         assert r["component_id"] == comp
         assert r["cluster_size"] == len(members[comp])
         assert r["keep"] == (r["doc_id"] == expect_keep[comp])
+
+
+def test_dedup_lines_keep_first(spark):
+    """Line-level keep-first: a line repeated across docs survives only
+    at its lowest (id, pos); within-doc repeats too; order preserved."""
+    from ocr_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nfooter\nbeta"),
+            (2, "footer\ngamma\nfooter"),
+            (3, "delta\nalpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[1]["cleaned_text"] == "alpha\nfooter\nbeta"
+    assert out[1]["n_removed"] == 0
+    # doc 2: both footer copies lose to doc 1's (within-doc repeat too)
+    assert out[2]["cleaned_text"] == "gamma"
+    assert out[2]["n_removed"] == 2 and out[2]["n_lines_before"] == 3
+    # doc 3: 'alpha' lost to doc 1
+    assert out[3]["cleaned_text"] == "delta"
+
+
+def test_dedup_lines_all_lines_lost(spark):
+    """A doc made entirely of earlier-seen lines cleans to ''."""
+    from ocr_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "y\nx")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[2]["cleaned_text"] == "" and out[2]["n_removed"] == 2

@@ -320,3 +320,18 @@ def test_cluster_keep_best_aggregate_not_window(spark):
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     for cols in exchange_inputs(df):
         assert "text" not in cols, cols
+
+
+def test_line_dedup_aggregate_not_window(spark):
+    """Line dedup keeps the keeper-selection an AGGREGATE (map-side
+    combine) — a corpus-universal footer line must cost a combiner
+    cell, never a single-task window sort. No Python node; only
+    (id, pos, line) rows cross exchanges — never the full page."""
+    from ocr_spark.plans.checks import exchange_inputs
+
+    df = entry_mod.text_line_dedup(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    for cols in exchange_inputs(df):
+        assert "page" not in cols, cols
