@@ -335,3 +335,12 @@ def test_line_dedup_aggregate_not_window(spark):
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     for cols in exchange_inputs(df):
         assert "page" not in cols, cols
+
+
+def test_url_dedup_single_exchange_no_python(spark):
+    """URL canonicalization is a pure JVM regexp projection; the dedup is
+    ONE hash aggregate (map-side combine on the canonical string)."""
+    df = entry_mod.url_canonical_dedup(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

@@ -1,0 +1,51 @@
+"""URL canonicalization: literal cases + the dedup query's invariants."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from ocr_spark.functions.urls import canonicalize_url  # noqa: E402
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r["c"] for r in
+            df.select(canonicalize_url("url").alias("c")).collect()]
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        # the full stack: case, default port, trailing slash, tracking,
+        # fragment — all collapse
+        "https://Ex.COM:443/a/?utm_source=x&page=2#top":
+            "https://ex.com/a?page=2",
+        # tracking param alone: query evaporates, then the slash
+        "https://h.com/?utm_campaign=z": "https://h.com",
+        # plain trailing slash
+        "http://h.com/p/": "http://h.com/p",
+        # ':443' inside the path is NOT a port — survives
+        "https://h.com/x:443/y": "https://h.com/x:443/y",
+        # non-default port survives
+        "https://h.com:8443/a": "https://h.com:8443/a",
+        # real params keep order; tracking removed mid-string
+        "https://h.com/a?q=1&utm_medium=m&r=2": "https://h.com/a?q=1&r=2",
+        # already canonical: fixpoint
+        "https://ex.com/a?page=2": "https://ex.com/a?page=2",
+    }
+    got = _canon(spark, list(cases))
+    for (src, want), g in zip(cases.items(), got):
+        assert g == want, (src, g, want)
+
+
+def test_url_dedup_groups_nonvacuous(spark):
+    """The synthesized corpus must produce real duplicate groups
+    (n_dups > 1) and keeper_id = min of each group."""
+    out = entry_mod.url_canonical_dedup(
+        spark, "/root/testdata/sf0.001").collect()
+    assert any(r["n_dups"] > 1 for r in out)
+    # every document lands in exactly one group
+    assert sum(r["n_dups"] for r in out) == 500  # sf0.001 doc count
