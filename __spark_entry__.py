@@ -20,8 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ocr_spark.functions.urls import canonicalize_url_sql
-
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -2505,6 +2503,11 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_base() -> dict[str, str]:
+    # lazy, like every per-query import in this module: a defect in the
+    # urls helper must fail url_canonical_dedup alone, not the import
+    # of all 75 queries
+    from ocr_spark.functions.urls import canonicalize_url_sql
+
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

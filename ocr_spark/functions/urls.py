@@ -4,17 +4,26 @@ The first dedup every web pipeline runs (before any content hashing):
 two fetches of the same page differ only in tracking query params,
 fragments, host case, default ports, or a trailing slash — canonicalize
 and group. Pure Catalyst regexp chain (JVM, codegen); every regex stays
-in the common Java-regex/RE2 subset (no lookaround, no backreference
-replacements) so the DuckDB oracle replays the identical patterns.
+in the common Java-regex/RE2 subset — no lookaround and no
+backreference REPLACEMENTS (Spark spells them $1, DuckDB \\1; staying
+literal keeps the two chains mechanically identical).
 
 Rules, in order (each motivated by an equivalence RFC 3986 §6 allows):
   1. drop the fragment            (#... never reaches the server)
-  2. drop tracking params         (utm_*, fbclid — content-neutral)
-  3. mend separators              ('?&' -> '?', trailing '?'/'&' cut)
-  4. lowercase scheme://host      (case-insensitive per RFC 3986 §3.2.2)
-     and strip a ':443' default   (anchored on the authority, so a
-     port on that prefix          ':443' inside path/query survives)
-  5. strip the trailing path '/'  (also before '?': '/?q' -> '?q')
+  2. drop tracking params         (utm_*, fbclid — content-neutral),
+     anchored at a [?&] boundary  (a param NAMED xutm_a, or a VALUE
+     so legit names/values that    containing 'utm_x=', is untouched)
+     merely contain 'utm_' survive
+  3. mend separators              ('&&..' -> '&', '?&' -> '?',
+                                   trailing '?'/'&' cut)
+  4. lowercase scheme://authority (scheme+host are case-insensitive per
+     and strip the DEFAULT port    RFC 3986 §3.2.2; ':443' only under
+     anchored on the authority     https, ':80' only under http — the
+                                   same port is NON-default elsewhere.
+     Simplification: a userinfo@ part, if present, is lowercased with
+     the host; credentialed URLs are out of scope for crawl dedup)
+  5. strip the trailing slash of the PATH only ('/p/' -> '/p',
+     '/?q' -> '?q') — '/' inside query values is legal and survives
 
 Scale shape: a projection — no shuffle, no Python; the dedup that
 follows is one hash aggregate on the canonical string.
@@ -27,39 +36,56 @@ from pyspark.sql import functions as F
 # authority prefix = scheme://host[:port] — everything before the first
 # path/query/fragment delimiter
 _AUTHORITY = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
-_TRACKING = r"(utm_[a-z]+|fbclid)=[^&#]*&?"
+_TRACK = "(utm_[a-z]+|fbclid)=[^&#]*"
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """RFC-3986-equivalence canonical form of `url` (rules above)."""
+    """Canonical form of `url` under the equivalence rules above."""
     u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(u, r"#.*$", "")             # 1. fragment
-    u = F.regexp_replace(u, _TRACKING, "")           # 2. tracking params
-    u = F.regexp_replace(u, r"\?&", "?")             # 3. separators
+    u = F.regexp_replace(u, r"#.*$", "")              # 1. fragment
+    u = F.regexp_replace(u, rf"\?{_TRACK}", "?")      # 2. tracking at ?
+    u = F.regexp_replace(u, rf"&{_TRACK}", "&")       #    tracking at &
+    u = F.regexp_replace(u, r"&&+", "&")              # 3. separators
+    u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
-    prefix = F.regexp_replace(                        # 4. authority case
-        F.lower(F.regexp_extract(u, _AUTHORITY, 0)),  # + default port
-        r":443$", "",
-    )
+    prefix = F.lower(F.regexp_extract(u, _AUTHORITY, 0))
+    prefix = F.when(                                   # 4. default port,
+        prefix.startswith("https://"),                 #    per scheme
+        F.regexp_replace(prefix, r":443$", ""),
+    ).when(
+        prefix.startswith("http://"),
+        F.regexp_replace(prefix, r":80$", ""),
+    ).otherwise(prefix)
     rest = F.regexp_replace(u, _AUTHORITY, "")
-    rest = F.regexp_replace(rest, r"/\?", "?")       # 5. trailing slash
-    rest = F.regexp_replace(rest, r"/$", "")
-    return F.concat(prefix, rest)
+    path = F.regexp_replace(                           # 5. path slash
+        F.regexp_extract(rest, r"^[^?]*", 0), r"/$", ""
+    )
+    query = F.regexp_replace(rest, r"^[^?]*", "")
+    return F.concat(prefix, path, query)
 
 
 def canonicalize_url_sql(expr: str) -> str:
     """The identical rule chain as DuckDB SQL over `expr` — the oracle
     twin (DuckDB regexp_replace needs the explicit 'g' flag; group-0
-    regexp_extract is the default)."""
+    regexp_extract is the default; the regexes are character-identical
+    to the Spark chain)."""
     u = f"regexp_replace({expr}, '#.*$', '', 'g')"
-    u = f"regexp_replace({u}, '{_TRACKING}', '', 'g')"
+    u = f"regexp_replace({u}, '\\?{_TRACK}', '?', 'g')"
+    u = f"regexp_replace({u}, '&{_TRACK}', '&', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
     u = f"regexp_replace({u}, '\\?&', '?', 'g')"
     u = f"regexp_replace({u}, '[?&]$', '', 'g')"
+    lowered = f"lower(regexp_extract({u}, '{_AUTHORITY}'))"
     prefix = (
-        f"regexp_replace(lower(regexp_extract({u}, '{_AUTHORITY}')), "
-        f"':443$', '')"
+        f"CASE WHEN starts_with({lowered}, 'https://')"
+        f" THEN regexp_replace({lowered}, ':443$', '')"
+        f" WHEN starts_with({lowered}, 'http://')"
+        f" THEN regexp_replace({lowered}, ':80$', '')"
+        f" ELSE {lowered} END"
     )
     rest = f"regexp_replace({u}, '{_AUTHORITY}', '')"
-    rest = f"regexp_replace({rest}, '/\\?', '?', 'g')"
-    rest = f"regexp_replace({rest}, '/$', '')"
-    return f"({prefix} || {rest})"
+    path = (
+        f"regexp_replace(regexp_extract({rest}, '^[^?]*'), '/$', '')"
+    )
+    query = f"regexp_replace({rest}, '^[^?]*', '')"
+    return f"({prefix} || {path} || {query})"

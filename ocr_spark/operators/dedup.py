@@ -962,11 +962,16 @@ def dedup_lines(
     key on the probe side only — AQE skew-join splits it. Reassembly is
     the same order-preserving collect as trim_duplicate_substrings.
     Every line participates (blank lines too); callers wanting to
-    exempt chrome-free lines filter before calling.
+    exempt chrome-free lines filter before calling. A NULL text is
+    treated as one empty line (posexplode over split(NULL) would
+    otherwise silently DROP the document from the output, breaking the
+    one-row-per-document contract).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     keepers = lines.groupBy("line").agg(
         F.min(F.struct(F.col("id").alias("kid"),

@@ -788,3 +788,21 @@ def test_dedup_lines_all_lines_lost(spark):
         [(1, "x\ny"), (2, "y\nx")], ["doc_id", "text"])
     out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
     assert out[2]["cleaned_text"] == "" and out[2]["n_removed"] == 2
+
+
+def test_dedup_lines_null_text_keeps_row(spark):
+    """NULL text must come back as one row (an empty line), never vanish
+    from the output."""
+    from pyspark.sql import types as T
+
+    from ocr_spark.operators.dedup import dedup_lines
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    docs = spark.createDataFrame([(1, "a"), (2, None)], schema)
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_lines_before"] == 1
+    assert out[2]["cleaned_text"] == ""

@@ -35,6 +35,19 @@ def test_canonicalize_url_cases(spark):
         "https://h.com/a?q=1&utm_medium=m&r=2": "https://h.com/a?q=1&r=2",
         # already canonical: fixpoint
         "https://ex.com/a?page=2": "https://ex.com/a?page=2",
+        # a param merely CONTAINING utm_ is not tracking — boundary-
+        # anchored removal leaves it alone
+        "https://h.com/a?xutm_a=1": "https://h.com/a?xutm_a=1",
+        "https://h.com/a?refbclid=5": "https://h.com/a?refbclid=5",
+        "https://h.com/a?a=utm_x=5": "https://h.com/a?a=utm_x=5",
+        # consecutive tracking params both removed, separators mended
+        "https://h.com/a?utm_a=1&utm_b=2&p=3": "https://h.com/a?p=3",
+        # '/' and trailing '/' inside QUERY VALUES are legal and survive
+        "https://h.com/r?next=/home/?a=1": "https://h.com/r?next=/home/?a=1",
+        "https://h.com/r?path=/a/": "https://h.com/r?path=/a/",
+        # :443 is only default under https; :80 only under http
+        "http://h.com:443/x": "http://h.com:443/x",
+        "http://h.com:80/x": "http://h.com/x",
     }
     got = _canon(spark, list(cases))
     for (src, want), g in zip(cases.items(), got):
@@ -48,4 +61,6 @@ def test_url_dedup_groups_nonvacuous(spark):
         spark, "/root/testdata/sf0.001").collect()
     assert any(r["n_dups"] > 1 for r in out)
     # every document lands in exactly one group
-    assert sum(r["n_dups"] for r in out) == 500  # sf0.001 doc count
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    assert sum(r["n_dups"] for r in out) == n_docs
