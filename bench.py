@@ -217,6 +217,7 @@ def run_scaling(sf: float) -> dict:
 # variant is exactly what production would run on such a graph).
 _HEAVY_QUERIES = (
     "dedup_components_bigstar",
+    "dedup_cluster_keep_best",
     "graph_pagerank",
     "nb_quality_classifier",
     "dedup_substring_runs",
