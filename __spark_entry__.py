@@ -2503,10 +2503,15 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_base() -> dict[str, str]:
-    # lazy, like every per-query import in this module: a defect in the
-    # urls helper must fail url_canonical_dedup alone, not the import
-    # of all 75 queries
-    from ocr_spark.functions.urls import canonicalize_url_sql
+    # lazy, like every per-query import in this module: it keeps
+    # importing __spark_entry__ itself (and with it queries() and every
+    # Spark-side query) independent of the urls helper. A urls defect
+    # still fails oracle_sql() wholesale — the dict is built eagerly —
+    # but the Spark side and the driver's rows-only path survive.
+    from ocr_spark.functions.urls import (
+        canonical_clean_sql,
+        canonical_compose_sql,
+    )
 
     return {
         "q1_pricing_summary": """
@@ -2937,10 +2942,14 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "url_canonical_dedup": f"""
             WITH u AS ({_URL_SYNTH_SQL}
+            ), cleaned AS (
+              SELECT doc_id,
+                     {canonical_clean_sql("url")} AS cu
+              FROM u
             ), c AS (
               SELECT doc_id,
-                     {canonicalize_url_sql("url")} AS canonical_url
-              FROM u
+                     {canonical_compose_sql("cu")} AS canonical_url
+              FROM cleaned
             )
             SELECT canonical_url,
                    min(doc_id) AS keeper_id,

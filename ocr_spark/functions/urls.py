@@ -9,6 +9,12 @@ backreference REPLACEMENTS (Spark spells them $1, DuckDB \\1; staying
 literal keeps the two chains mechanically identical).
 
 Rules, in order (each motivated by an equivalence RFC 3986 §6 allows):
+  0. strip surrounding whitespace — not only hygiene: Java regex lets a
+     bare '$' match BEFORE a trailing newline while RE2 ('$' = end of
+     text) does not, so every later $-anchored rule would diverge
+     between the Spark chain and its DuckDB twin on a '\\n'-terminated
+     URL; with the ends stripped the anchors agree (interior newlines
+     never match '.'/'[^...]' classes in either engine)
   1. drop the fragment            (#... never reaches the server)
   2. drop tracking params         (utm_*, fbclid — content-neutral),
      anchored at a [?&] boundary  (a param NAMED xutm_a, or a VALUE
@@ -37,11 +43,13 @@ from pyspark.sql import functions as F
 # path/query/fragment delimiter
 _AUTHORITY = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 _TRACK = "(utm_[a-z]+|fbclid)=[^&#]*"
+_WS_ENDS = r"^\s+|\s+$"
 
 
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of `url` under the equivalence rules above."""
     u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, _WS_ENDS, "")             # 0. whitespace
     u = F.regexp_replace(u, r"#.*$", "")              # 1. fragment
     u = F.regexp_replace(u, rf"\?{_TRACK}", "?")      # 2. tracking at ?
     u = F.regexp_replace(u, rf"&{_TRACK}", "&")       #    tracking at &
@@ -64,18 +72,26 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.concat(prefix, path, query)
 
 
-def canonicalize_url_sql(expr: str) -> str:
-    """The identical rule chain as DuckDB SQL over `expr` — the oracle
-    twin (DuckDB regexp_replace needs the explicit 'g' flag; group-0
-    regexp_extract is the default; the regexes are character-identical
-    to the Spark chain)."""
-    u = f"regexp_replace({expr}, '#.*$', '', 'g')"
+def canonical_clean_sql(expr: str) -> str:
+    """Stages 0-3 (whitespace, fragment, tracking, separators) as DuckDB
+    SQL over `expr` — regexes character-identical to the Spark chain
+    (DuckDB regexp_replace needs the explicit 'g' flag). Bind the result
+    ONCE (a CTE column) and feed it to `canonical_compose_sql`: the
+    compose step references its input several times, and inlining this
+    6-stage chain at each mention multiplies the generated SQL."""
+    u = f"regexp_replace({expr}, '{_WS_ENDS}', '', 'g')"
+    u = f"regexp_replace({u}, '#.*$', '', 'g')"
     u = f"regexp_replace({u}, '\\?{_TRACK}', '?', 'g')"
     u = f"regexp_replace({u}, '&{_TRACK}', '&', 'g')"
     u = f"regexp_replace({u}, '&&+', '&', 'g')"
     u = f"regexp_replace({u}, '\\?&', '?', 'g')"
-    u = f"regexp_replace({u}, '[?&]$', '', 'g')"
-    lowered = f"lower(regexp_extract({u}, '{_AUTHORITY}'))"
+    return f"regexp_replace({u}, '[?&]$', '', 'g')"
+
+
+def canonical_compose_sql(expr: str) -> str:
+    """Stages 4-5 (authority case + default port, path-only trailing
+    slash) over an already-cleaned `expr` (ideally a plain column)."""
+    lowered = f"lower(regexp_extract({expr}, '{_AUTHORITY}'))"
     prefix = (
         f"CASE WHEN starts_with({lowered}, 'https://')"
         f" THEN regexp_replace({lowered}, ':443$', '')"
@@ -83,9 +99,14 @@ def canonicalize_url_sql(expr: str) -> str:
         f" THEN regexp_replace({lowered}, ':80$', '')"
         f" ELSE {lowered} END"
     )
-    rest = f"regexp_replace({u}, '{_AUTHORITY}', '')"
-    path = (
-        f"regexp_replace(regexp_extract({rest}, '^[^?]*'), '/$', '')"
-    )
+    rest = f"regexp_replace({expr}, '{_AUTHORITY}', '')"
+    path = f"regexp_replace(regexp_extract({rest}, '^[^?]*'), '/$', '')"
     query = f"regexp_replace({rest}, '^[^?]*', '')"
     return f"({prefix} || {path} || {query})"
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """The full rule chain as one DuckDB expression — prefer the
+    clean/compose split with a CTE binding in between for real oracles
+    (see canonical_clean_sql)."""
+    return canonical_compose_sql(canonical_clean_sql(expr))

@@ -64,3 +64,34 @@ def test_url_dedup_groups_nonvacuous(spark):
     n_docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").count()
     assert sum(r["n_dups"] for r in out) == n_docs
+
+
+def test_canonicalize_cross_engine_parity(spark):
+    """The Spark chain and its DuckDB twin must agree character-for-
+    character on adversarial literals — including the '$'-anchor trap:
+    Java regex lets a bare '$' match before a trailing newline, RE2
+    does not, so without the rule-0 whitespace strip every $-anchored
+    rule diverges on a '\\n'-terminated URL (live-confirmed in review)."""
+    import duckdb
+
+    from ocr_spark.functions.urls import canonicalize_url_sql
+
+    urls = [
+        "https://h.com:443/a\n",            # the Java-vs-RE2 $ trap
+        "  https://Ex.COM:443/a/?utm_source=x&page=2#top  ",
+        "https://h.com/a?utm_a=1&utm_b=2&p=3",
+        "https://h.com/r?next=/home/?a=1",
+        "http://h.com:443/x",
+        "http://h.com:80/x",
+        "https://h.com/a?xutm_a=1",
+    ]
+    got_spark = _canon(spark, urls)
+    con = duckdb.connect()
+    got_duck = [
+        con.sql(
+            f"SELECT {canonicalize_url_sql('url')} "
+            f"FROM (VALUES (?)) t(url)", params=[u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got_spark == got_duck, list(zip(urls, got_spark, got_duck))
