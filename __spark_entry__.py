@@ -570,6 +570,108 @@ def q4_windowed_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_replay_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming replay == batch, as a driver-checked query.
+
+    Replays the documents table as a deterministic 3-drop file-inbox
+    sequence (doc_id % 3) through the SAME streaming machinery the
+    extraction stream uses (readStream file source -> availableNow
+    micro-batches, one file per trigger -> foreachBatch merge_upsert into
+    a doc_id-keyed SnapshotTable, so an at-least-once redelivery is
+    absorbed idempotently — the reference's Bull-retry + SQLite-upsert
+    contract, /root/reference/src/ocr/ocrQueue.js:14-23 +
+    VoucherDatabase.py:142-201), then folds the final store into
+    per-length-class totals. Oracle = the batch twin straight over
+    ``documents``: any doc the stream dropped, duplicated, or replayed
+    into the store twice changes a count or a token/char sum.
+
+    Scale shape: per-micro-batch work is one narrow projection; the store
+    merge shuffles only the batch's keys into their buckets. State is
+    bounded (stateless micro-batches; cross-batch state lives in the
+    snapshot store), so backlog size never grows executor state.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_spark.functions.textstats import token_count
+    from ocr_spark.sources.snapstore import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_replay_")
+    try:
+        inbox = os.path.join(base, "inbox")
+        os.makedirs(inbox, exist_ok=True)
+        # Inbox synthesis (the "uploader" side, not the pipeline): the
+        # streaming file source lists flat files, so write each drop as
+        # one parquet file, exactly like the pytest harness does.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).to_pandas()
+        for k in range(3):
+            pq.write_table(
+                pa.Table.from_pandas(pdf[pdf["doc_id"] % 3 == k],
+                                     preserve_index=False),
+                os.path.join(inbox, f"drop{k}.parquet"),
+            )
+        store = SnapshotTable(os.path.join(base, "results"),
+                              key_col="doc_id", n_buckets=4)
+
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            store.merge_upsert(batch_df.select(
+                "doc_id",
+                token_count("text").cast("long").alias("n_tokens"),
+                F.length("text").cast("long").alias("n_chars"),
+            ))
+
+        query = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+        final = store.read(spark)
+        len_class = (
+            F.when(F.col("n_tokens") < 50, "short")
+            .when(F.col("n_tokens") < 200, "medium")
+            .otherwise("long")
+        )
+        rows = (
+            final.groupBy(len_class.alias("len_class"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # The final fold is tiny (<= 3 rows); materialize it so the returned
+    # frame does not dangle on the deleted temp store.
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("len_class", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("sum_tokens", T.LongType()),
+        T.StructField("sum_chars", T.LongType()),
+    ])
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenizer count (GPT-2-ish regex: contractions,
     letter runs, digit runs, punctuation runs with leading space) —
@@ -1456,19 +1558,119 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "label", "score1", "score0", "pred")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Query registry, ordered by driver-evidence priority.
+# The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
+DRIVER_CAP = 50
 
-    The correctness driver checks the FIRST 50 entries against the
-    DuckDB oracles, so the registry leads with the queries that have
-    the least driver history (round-3/4 additions and the ANN rows
-    whose only prior driver evidence was vacuous), and rotates the
-    rows that have been green for 3+ consecutive rounds to the tail.
+# Round-5 driver-checked window, explicit by name so a registry edit can
+# never silently move a row in or out of it (the round-4 boundary was
+# implicit — "count the first 50" — flagged in ADVICE r4). Ordering is by
+# evidence need, computed from CORRECTNESS_r01..r04:
+#   1. never driver-checked (the round-5 streaming-replay query);
+#   2. the 25 rows whose LAST driver green is r03 (rotated past the cap
+#      in round 4 under the documented long-green policy);
+#   3. the 21 round-4 additions whose ONLY green round is r04 (a second
+#      consecutive green is the strongest remaining evidence gain);
+#   4. three two-green rows (emb_neardup_lsh / ann_ivf_topk last green
+#      r02+r04; dedup_components, the iterative-CC row, r03+r04).
+DRIVER_CHECKED: tuple[str, ...] = (
+    "stream_replay_equals_batch",
+    # -- last green r03 -------------------------------------------------
+    "text_lang_id",
+    "text_fingerprint",
+    "q4_windowed_event_rate",
+    "f1_voucher_extract_synth",
+    "w3_seeded_random_order",
+    "q1_pricing_summary",
+    "q3_revenue_by_nation",
+    "a7_priority_count",
+    "j3_semi_customers_with_orders",
+    "j1_anti_customers_without_orders",
+    "j4_positional_pairs",
+    "w1_first_event_per_user_type",
+    "a5_event_seq_concat",
+    "a8_event_stats",
+    "u4_viewers_minus_purchasers",
+    "p1_token_explode",
+    "p6_contains_search",
+    "f_hash_surrogates",
+    "a1_first_occurrence_dedup",
+    "j2_merge_array_union",
+    "p3_banned_anti_join",
+    "a6_collect_codes_per_key",
+    "f6_path_functions",
+    "s5_scan_filter_project",
+    "f11_json_props",
+    # -- single green round (r04) ----------------------------------------
+    "dedup_components_bigstar",
+    "dedup_cluster_keep_best",
+    "text_line_dedup",
+    "url_canonical_dedup",
+    "curate_domain_cap",
+    "ann_ivf_trained_topk",
+    "semantic_dedup",
+    "sketch_distinct_tokens",
+    "graph_pagerank",
+    "nb_quality_classifier",
+    "bpe_encode",
+    "text_char_entropy",
+    "sample_mixture",
+    "dedup_substring_runs",
+    "dedup_substring_trim",
+    "a10_histogram_percentiles",
+    "decontaminate_semantic",
+    "search_bm25",
+    "curation_funnel",
+    "monitor_rate_anomalies",
+    "sample_split_assign",
+    # -- two green rounds --------------------------------------------------
+    "emb_neardup_lsh",
+    "ann_ivf_topk",
+    "dedup_components",
+)
+
+# Long-green tail, past the driver cap: every row here was driver-green
+# in round 4 and at least one earlier round; all stay pytest-oracled at
+# three SFs (tests/test_entry_contract.py runs the FULL map).
+LONG_GREEN_TAIL: tuple[str, ...] = (
+    "emb_neardup_pairs",
+    "ann_lsh_topk",
+    "ann_cosine_topk",
+    "dedup_simhash",
+    "text_winnowing_fp",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "decontaminate_ngrams",
+    "layout_reading_order",
+    "text_pii_scrub",
+    "sample_stratified",
+    "q5_sessionization",
+    "j5_asof_last_purchase",
+    "a9_value_percentiles",
+    "bpe_learn",
+    "lm_perplexity",
+    "text_tfidf_keywords",
+    "pack_sequences",
+    "text_boilerplate_strip",
+    "text_repetition",
+    "text_token_count_bpe",
+    "m6_crop_half_ocr",
+    "r4_quadrant_spans",
+    "text_token_count",
+    "text_quality_score",
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry: DRIVER_CHECKED window first, long-green tail after.
+
+    The correctness driver checks the FIRST ``DRIVER_CAP`` entries against
+    the DuckDB oracles; the window membership is the explicit
+    ``DRIVER_CHECKED`` tuple above (asserted against this map in
+    tests/test_entry_contract.py so edits keep the boundary visible).
     """
-    return {
-        # -- block 1: never driver-checked before round 4 (r3 registry
-        #    tail, cut by the driver's 50-query cap) + the ANN rows
-        #    whose last driver rows (r02) were 0-row vacuous.
+    fns: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "stream_replay_equals_batch": stream_replay_equals_batch,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -1494,7 +1696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": emb_neardup_lsh,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        # -- block 2: round-2/3 operators (one or two green rounds).
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
@@ -1516,24 +1717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_strip": text_boilerplate_strip,
         "text_repetition": text_repetition,
         "text_token_count_bpe": text_token_count_bpe,
-        # media/OCR rows stay inside the driver's 50 ahead of the
-        # one-expression textstats projections below them: they cover
-        # the render/recognize/crop chain — orders of magnitude more
-        # code per row
         "m6_crop_half_ocr": m6_crop_half_ocr,
         "r4_quadrant_spans": r4_quadrant_spans,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
-        # -- block 3 (tail, past the driver's 50-query cap): rows green
-        #    in CORRECTNESS_r01..r03 for 2-3 consecutive rounds; pytest
-        #    still covers every one (tests/test_entry_contract.py runs
-        #    the full map at three SFs). Each round-4 block-1 insert
-        #    pushes one more long-green block-2 row past the cap — the
-        #    boundary currently falls inside block 2 (count the first
-        #    50 to see exactly where); everything below here has 2-3
-        #    rounds of driver history.
         "q4_windowed_event_rate": q4_windowed_event_rate,
         "f1_voucher_extract_synth": f1_voucher_extract_synth,
         "w3_seeded_random_order": w3_seeded_random_order,
@@ -1558,6 +1747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_scan_filter_project": s5_scan_filter_project,
         "f11_json_props": f11_json_props,
     }
+    ordered = DRIVER_CHECKED + LONG_GREEN_TAIL
+    assert len(DRIVER_CHECKED) == DRIVER_CAP, len(DRIVER_CHECKED)
+    assert sorted(ordered) == sorted(fns), (
+        set(ordered) ^ set(fns)
+    )
+    return {name: fns[name] for name in ordered}
 
 
 # --------------------------------------------------------------------------
@@ -2498,6 +2693,28 @@ def oracle_sql() -> dict[str, str]:
                END AS verdict
         FROM q JOIN r USING (doc_id) JOIN e USING (doc_id)
                JOIN t USING (doc_id)
+    """
+    # Batch twin of the streaming replay: the Spark side pushes every doc
+    # through readStream micro-batches + snapshot-store MERGE before the
+    # fold; the oracle folds documents directly. Equality proves the
+    # stream neither dropped, duplicated, nor double-merged any doc.
+    d["stream_replay_equals_batch"] = r"""
+        WITH stats AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n_tokens,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT CASE WHEN n_tokens < 50 THEN 'short'
+                    WHEN n_tokens < 200 THEN 'medium'
+                    ELSE 'long' END AS len_class,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM stats
+        GROUP BY 1
     """
     return d
 

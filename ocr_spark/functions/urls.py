@@ -20,8 +20,14 @@ Rules, in order (each motivated by an equivalence RFC 3986 §6 allows):
      anchored at a [?&] boundary  (a param NAMED xutm_a, or a VALUE
      so legit names/values that    containing 'utm_x=', is untouched)
      merely contain 'utm_' survive
-  3. mend separators              ('&&..' -> '&', '?&' -> '?',
+  3. mend separators              ('&&..' -> '&', leading '?&' -> '?',
                                    trailing '?'/'&' cut)
+     Stages 2-3 run on the QUERY SUBSTRING only (everything from the
+     FIRST '?'): there, any unencoded '&' IS a parameter separator by
+     parsing rules, so the boundary-anchored rewrites are exact — a
+     literal '&utm_x=...' in a PATH segment ('/a&utm_source=x/b') or a
+     '?&' inside a query VALUE ('?x=?&b=2') survives untouched (both
+     were over-merged when the rules ran globally; flagged in review)
   4. lowercase scheme://authority (scheme+host are case-insensitive per
      and strip the DEFAULT port    RFC 3986 §3.2.2; ':443' only under
      anchored on the authority     https, ':80' only under http — the
@@ -51,12 +57,14 @@ def canonicalize_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, _WS_ENDS, "")             # 0. whitespace
     u = F.regexp_replace(u, r"#.*$", "")              # 1. fragment
-    u = F.regexp_replace(u, rf"\?{_TRACK}", "?")      # 2. tracking at ?
-    u = F.regexp_replace(u, rf"&{_TRACK}", "&")       #    tracking at &
-    u = F.regexp_replace(u, r"&&+", "&")              # 3. separators
-    u = F.regexp_replace(u, r"\?&", "?")
-    u = F.regexp_replace(u, r"[?&]$", "")
-    prefix = F.lower(F.regexp_extract(u, _AUTHORITY, 0))
+    head = F.regexp_extract(u, r"^[^?]*", 0)          # pre-'?' part
+    q = F.regexp_replace(u, r"^[^?]*", "")            # '' or '?...'
+    q = F.regexp_replace(q, rf"^\?{_TRACK}", "?")     # 2. tracking 1st
+    q = F.regexp_replace(q, rf"&{_TRACK}", "&")       #    tracking at &
+    q = F.regexp_replace(q, r"&&+", "&")              # 3. separators
+    q = F.regexp_replace(q, r"^\?&+", "?")
+    q = F.regexp_replace(q, r"[?&]+$", "")
+    prefix = F.lower(F.regexp_extract(head, _AUTHORITY, 0))
     prefix = F.when(                                   # 4. default port,
         prefix.startswith("https://"),                 #    per scheme
         F.regexp_replace(prefix, r":443$", ""),
@@ -64,34 +72,35 @@ def canonicalize_url(url: Column | str) -> Column:
         prefix.startswith("http://"),
         F.regexp_replace(prefix, r":80$", ""),
     ).otherwise(prefix)
-    rest = F.regexp_replace(u, _AUTHORITY, "")
     path = F.regexp_replace(                           # 5. path slash
-        F.regexp_extract(rest, r"^[^?]*", 0), r"/$", ""
+        F.regexp_replace(head, _AUTHORITY, ""), r"/$", ""
     )
-    query = F.regexp_replace(rest, r"^[^?]*", "")
-    return F.concat(prefix, path, query)
+    return F.concat(prefix, path, q)
 
 
 def canonical_clean_sql(expr: str) -> str:
-    """Stages 0-3 (whitespace, fragment, tracking, separators) as DuckDB
-    SQL over `expr` — regexes character-identical to the Spark chain
-    (DuckDB regexp_replace needs the explicit 'g' flag). Bind the result
-    ONCE (a CTE column) and feed it to `canonical_compose_sql`: the
-    compose step references its input several times, and inlining this
-    6-stage chain at each mention multiplies the generated SQL."""
+    """Stages 0-1 (whitespace, fragment) as DuckDB SQL over `expr` —
+    regexes character-identical to the Spark chain (DuckDB
+    regexp_replace needs the explicit 'g' flag). Bind the result ONCE (a
+    CTE column) and feed it to `canonical_compose_sql`: the compose step
+    references its input several times, and inlining this chain at each
+    mention multiplies the generated SQL."""
     u = f"regexp_replace({expr}, '{_WS_ENDS}', '', 'g')"
-    u = f"regexp_replace({u}, '#.*$', '', 'g')"
-    u = f"regexp_replace({u}, '\\?{_TRACK}', '?', 'g')"
-    u = f"regexp_replace({u}, '&{_TRACK}', '&', 'g')"
-    u = f"regexp_replace({u}, '&&+', '&', 'g')"
-    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
-    return f"regexp_replace({u}, '[?&]$', '', 'g')"
+    return f"regexp_replace({u}, '#.*$', '', 'g')"
 
 
 def canonical_compose_sql(expr: str) -> str:
-    """Stages 4-5 (authority case + default port, path-only trailing
-    slash) over an already-cleaned `expr` (ideally a plain column)."""
-    lowered = f"lower(regexp_extract({expr}, '{_AUTHORITY}'))"
+    """Stages 2-5 (query-scoped tracking + separator mends, authority
+    case + default port, path-only trailing slash) over an
+    already-cleaned `expr` (ideally a plain column)."""
+    head = f"regexp_extract({expr}, '^[^?]*')"
+    q = f"regexp_replace({expr}, '^[^?]*', '', 'g')"
+    q = f"regexp_replace({q}, '^\\?{_TRACK}', '?', 'g')"
+    q = f"regexp_replace({q}, '&{_TRACK}', '&', 'g')"
+    q = f"regexp_replace({q}, '&&+', '&', 'g')"
+    q = f"regexp_replace({q}, '^\\?&+', '?', 'g')"
+    q = f"regexp_replace({q}, '[?&]+$', '', 'g')"
+    lowered = f"lower(regexp_extract({head}, '{_AUTHORITY}'))"
     prefix = (
         f"CASE WHEN starts_with({lowered}, 'https://')"
         f" THEN regexp_replace({lowered}, ':443$', '')"
@@ -99,10 +108,11 @@ def canonical_compose_sql(expr: str) -> str:
         f" THEN regexp_replace({lowered}, ':80$', '')"
         f" ELSE {lowered} END"
     )
-    rest = f"regexp_replace({expr}, '{_AUTHORITY}', '')"
-    path = f"regexp_replace(regexp_extract({rest}, '^[^?]*'), '/$', '')"
-    query = f"regexp_replace({rest}, '^[^?]*', '')"
-    return f"({prefix} || {path} || {query})"
+    path = (
+        f"regexp_replace(regexp_replace({head}, '{_AUTHORITY}', ''),"
+        f" '/$', '')"
+    )
+    return f"({prefix} || {path} || {q})"
 
 
 def canonicalize_url_sql(expr: str) -> str:

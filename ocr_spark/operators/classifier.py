@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import checkpoint_truncate
 from .lm import _micro_ln  # one micro-nat grid for the whole repo
 
 WS_SPLIT = r"\s+"
@@ -81,7 +82,7 @@ def nb_train_score(
     # quality regex over the full text); without materialization, the
     # classes check, n_all, the prior, the model branch, the scoring
     # join and the output join each re-evaluate it — measured 13 s ->
-    # 5 s on the 8x bench corpus. localCheckpoint, NOT persist: the
+    # 5 s on the 8x bench corpus. Checkpoint, NOT persist: the
     # returned plan references this table, so the function cannot
     # unpersist it and the caller has no handle to — a CacheManager
     # entry would pin one label table per call for the session's life.
@@ -91,9 +92,12 @@ def nb_train_score(
     # (The corpus-sized FEATURE table stays unmaterialized on purpose —
     # that was the round-3 review fix; its two consumers are the
     # documented two scans.)
-    labels = docs.filter(F.length(F.trim(text_col)) > 0).select(
-        F.col(id_col).alias("id"), F.col(label_col).cast("int").alias("y")
-    ).localCheckpoint(eager=True)
+    labels = checkpoint_truncate(
+        docs.filter(F.length(F.trim(text_col)) > 0).select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+    )
     classes = {r["y"] for r in labels.select("y").distinct().collect()}
     if classes != {0, 1}:
         # a single-class (or empty) corpus would produce null scores for

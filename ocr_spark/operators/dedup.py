@@ -30,6 +30,7 @@ from ..functions.hashfam import (
     spark_base60,
 )
 from ..functions.textstats import WS_SPLIT, fingerprint
+from ..session import checkpoint_truncate
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -445,14 +446,17 @@ def neardup_components(
             F.min("label").alias("label")
         )
 
-    # localCheckpoint per round, not persist: each round references `lab`
+    # checkpoint_truncate per round (localCheckpoint by default,
+    # reliable checkpoint when the session sets a checkpoint dir — see
+    # session.py for the fault-tolerance trade), not persist: each
+    # round references `lab`
     # twice (join + union), so the LOGICAL plan doubles per round — at
     # iters~12 the 2^12-node tree OOMs the planner's own toString before
     # any data moves. Checkpointing truncates the plan each round;
     # persist alone only truncates recompute.
     steps = []
     for _ in range(iters):
-        lab = _round(lab).localCheckpoint(eager=True)
+        lab = checkpoint_truncate(_round(lab))
         steps.append(lab)
     try:
         if check_converged:
@@ -554,24 +558,35 @@ def _bigstar_edges(
             .select("e.a", "e.b")
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            # localCheckpoint, not persist: it truncates the logical plan,
-            # so analysis/optimization time stays O(1) per round instead
-            # of growing with the round number (measured: the 1000-chain
-            # test went from minutes of planner time to seconds)
-            .localCheckpoint(eager=True)
         )
+        # checkpoint, not persist: it truncates the logical plan, so
+        # analysis/optimization time stays O(1) per round instead of
+        # growing with the round number (measured: the 1000-chain test
+        # went from minutes of planner time to seconds). Reliable vs
+        # local checkpoint is the session's call — see
+        # session.checkpoint_truncate for the fault-tolerance trade.
+        small = checkpoint_truncate(small)
         new_sig = _sig(small)
+        prev = e
+        e = small
+        rounds += 1
+        if new_sig == sig:
+            # Signature match is the FAST PATH only: a (count, bit_xor)
+            # collision between different equal-size edge sets (~2^-64,
+            # but the failure mode is silently wrong components) must not
+            # end the loop. Counts already match, so one anti-join gives
+            # exact set equality; it runs once at convergence, not per
+            # round.
+            if small.exceptAll(prev).isEmpty():
+                prev.unpersist(blocking=False)
+                break
         # round 0: releases the CacheManager persist on the canonical
-        # edge set. Later rounds: `e` is a localCheckpoint frame, for
+        # edge set. Later rounds: `prev` is a localCheckpoint frame, for
         # which unpersist is a no-op — each round's blocks release via
         # the ContextCleaner once the rebind drops the reference and a
         # GC runs (the bench forces one between queries; a long-lived
         # session's own GC cadence does the same)
-        e.unpersist(blocking=False)
-        e = small
-        rounds += 1
-        if new_sig == sig:
-            break
+        prev.unpersist(blocking=False)
         sig = new_sig
     else:
         raise ValueError(
@@ -611,6 +626,12 @@ def bigstar_components(
     is not expressible as one ANSI query) — tests pin that both produce
     identical components on the same pair sets.
 
+    Fault tolerance: per-round lineage truncation defaults to
+    localCheckpoint (executor-local blocks — an executor loss mid-query
+    on a real cluster aborts the query and it must restart). Set a
+    reliable checkpoint dir on the session to make every round durable;
+    see session.checkpoint_truncate for the trade.
+
     Returns (doc_id, component_id), component_id = min doc id of the
     component; vertices absent from `pairs` are absent (same contract as
     neardup_components).
@@ -634,7 +655,7 @@ def bigstar_components(
     # loop runs at least one round) has no unpersist surface; its
     # blocks release via the ContextCleaner once this function's
     # reference drops and a GC runs
-    return out.localCheckpoint(eager=True)
+    return checkpoint_truncate(out)
 
 
 def ngram_contamination(

@@ -93,3 +93,26 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def checkpoint_truncate(df, eager: bool = True):
+    """Lineage-truncating checkpoint: reliable if a checkpoint dir is set.
+
+    The iterative operators (connected components, NB label folding,
+    PageRank) checkpoint once per round so the logical plan stays O(1).
+    ``localCheckpoint`` blocks are EXECUTOR-LOCAL with lineage gone — the
+    right trade on the single-box bench, but on a multi-node cluster one
+    executor loss makes the remaining rounds unrecoverable mid-query, and
+    block release rides the driver's GC cadence.
+
+    Deployments that need fault tolerance call
+    ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` once; every
+    iterative operator then switches to reliable checkpoints here
+    automatically (files survive executor loss; freed by the
+    ContextCleaner deleting the directory), trading per-round write
+    latency for recoverability. No per-operator flag to thread through.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

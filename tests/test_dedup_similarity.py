@@ -806,3 +806,36 @@ def test_dedup_lines_null_text_keeps_row(spark):
     assert set(out) == {1, 2}
     assert out[2]["n_lines_before"] == 1
     assert out[2]["cleaned_text"] == ""
+
+
+def test_checkpoint_truncate_reliable_mode(spark, tmp_path):
+    """ADVICE r4: with a checkpoint dir set, the iterative operators must
+    switch from executor-local localCheckpoint blocks to RELIABLE
+    checkpoints (files that survive executor loss on a real cluster) —
+    and produce identical results. The dir is restored afterwards so the
+    session-scoped fixture keeps its default behavior."""
+    import os
+
+    from ocr_spark.operators.dedup import bigstar_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+        )
+        comp = {
+            r["doc_id"]: r["component_id"]
+            for r in bigstar_components(pairs).collect()
+        }
+        assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+        n_ckpt_files = sum(
+            len(files) for _, _, files in os.walk(str(tmp_path / "ckpt"))
+        )
+        assert n_ckpt_files > 0, "reliable mode wrote no checkpoint files"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert sc.getCheckpointDir() is None

@@ -107,6 +107,22 @@ def test_rows_only_queries_run(spark, name):
     df.limit(5).collect()  # materializes the plan end-to-end
 
 
+def test_driver_checked_window_is_explicit():
+    """The correctness driver oracles the first DRIVER_CAP registry rows.
+
+    Round 4's window boundary was implicit ("count the first 50") and an
+    insert could silently change which queries the driver checks; pin the
+    window to the explicit DRIVER_CHECKED tuple."""
+    names = list(entry_mod.queries())
+    assert len(entry_mod.DRIVER_CHECKED) == entry_mod.DRIVER_CAP
+    assert tuple(names[: entry_mod.DRIVER_CAP]) == entry_mod.DRIVER_CHECKED
+    assert tuple(names[entry_mod.DRIVER_CAP:]) == entry_mod.LONG_GREEN_TAIL
+    # every driver-checked row must have a full value-hash oracle
+    missing = [n for n in entry_mod.DRIVER_CHECKED
+               if n not in entry_mod.oracle_sql()]
+    assert not missing, f"driver-checked rows without oracle: {missing}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -139,3 +139,130 @@ def test_encoder_writes_dqt_payload_in_zigzag_order():
     payload = data[i + 4:i + 4 + 65]  # Pq/Tq byte + 64 steps
     assert payload[0] == 0
     assert list(payload[1:]) == _K1_ZIGZAG.tolist()
+
+
+def test_hand_assembled_external_stream_nonuniform_dqt():
+    """Interchange check the self-roundtrip tests can't give: a baseline
+    stream assembled BYTE BY BYTE here — segment layout, canonical
+    Huffman codes, and entropy bits all written by test-local logic, not
+    by encode_jpeg — with a FULLY non-uniform DQT (step i+1 at zigzag
+    index i, all 64 distinct). Expected pixels come from a test-local
+    dequantize + IDCT. Any disagreement between this decoder and the
+    T.81 interchange format (including the zigzag-vs-row-major DQT
+    domain fixed in round 4) shows up as a pixel error here.
+
+    Only the Annex K table CONSTANTS are imported (spec data); every
+    piece of encoding logic is re-derived in this test."""
+    from ocr_spark.jpeg_codec import (
+        AC_BITS,
+        AC_VALS,
+        DC_BITS,
+        DC_VALS,
+        decode_jpeg,
+    )
+
+    # --- test-local canonical Huffman code assignment (T.81 C.2) -------
+    def canonical(bits, vals):
+        out, code = {}, 0
+        i = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[vals[i]] = (length, code)
+                code += 1
+                i += 1
+            code <<= 1
+        return out
+
+    dc_codes = canonical(DC_BITS, DC_VALS)
+    ac_codes = canonical(AC_BITS, AC_VALS)
+
+    # --- test-local bit writer with FF-stuffing -------------------------
+    bitbuf = []
+
+    def put(code, length):
+        bitbuf.extend((code >> (length - 1 - i)) & 1 for i in range(length))
+
+    def put_value(v):
+        """magnitude category + offset bits per T.81 F.1.2.1."""
+        size = int(v != 0 and int(abs(v)).bit_length())
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    # one 8x8 block, coefficients chosen in ZIGZAG order:
+    #   DC (zz 0) = 8, AC at zz 1 = 3, AC at zz 5 = -2, rest 0.
+    # zz 1 and zz 5 map to DIFFERENT row-major cells (1 and 2), so a
+    # decoder applying the non-uniform table in the wrong domain scales
+    # both wrongly.
+    size, bits = put_value(8)                      # DC diff = 8 (prev 0)
+    length, code = dc_codes[size]
+    put(code, length)
+    put(bits, size)
+    size, bits = put_value(3)                      # run 0, value 3
+    length, code = ac_codes[(0 << 4) | size]
+    put(code, length)
+    put(bits, size)
+    size, bits = put_value(-2)                     # run 3 (zz 2..4 zero)
+    length, code = ac_codes[(3 << 4) | size]
+    put(code, length)
+    put(bits, size)
+    length, code = ac_codes[0x00]                  # EOB
+    put(code, length)
+    while len(bitbuf) % 8:                         # pad with 1s (F.1.2.3)
+        bitbuf.append(1)
+    entropy = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = int("".join(map(str, bitbuf[i:i + 8])), 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)                   # byte stuffing
+
+    # --- segments --------------------------------------------------------
+    import struct
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    q_z = bytes(i + 1 for i in range(64))          # zigzag-ordered steps
+    stream = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + q_z)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes(entropy)
+        + b"\xff\xd9"
+    )
+
+    # --- expected pixels, computed independently -------------------------
+    zigzag_rm = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    coef_zz = np.zeros(64, dtype=np.int64)
+    coef_zz[0] = 8 * (0 + 1)                       # x step at zz 0
+    coef_zz[1] = 3 * (1 + 1)                       # x step at zz 1
+    coef_zz[5] = -2 * (5 + 1)                      # x step at zz 5
+    rm = np.zeros(64, dtype=np.float64)
+    rm[zigzag_rm] = coef_zz
+    C = rm.reshape(8, 8)
+    T = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = np.sqrt(1 / 8) if u == 0 else 0.5
+            T[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    block = T.T @ C @ T
+    want = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+
+    got = decode_jpeg(stream)
+    assert got.shape == (8, 8)
+    err = np.abs(got.astype(int) - want.astype(int)).max()
+    assert err <= 1, f"external-stream decode mismatch (max err {err})"
+    # and the non-uniform steps genuinely mattered: the same coefficients
+    # under a FLAT table give different pixels, so a pass can't come from
+    # a decoder that ignores the DQT payload
+    flat = np.zeros(64, dtype=np.float64)
+    flat[zigzag_rm] = [8, 3, 0, 0, 0, -2] + [0] * 58
+    assert np.abs((T.T @ flat.reshape(8, 8) @ T) - block).max() > 2

@@ -48,6 +48,16 @@ def test_canonicalize_url_cases(spark):
         # :443 is only default under https; :80 only under http
         "http://h.com:443/x": "http://h.com:443/x",
         "http://h.com:80/x": "http://h.com/x",
+        # stages 2-3 are QUERY-scoped (ADVICE r4): a literal '&utm_x='
+        # inside a PATH segment is not a parameter — survives
+        "https://h.com/a&utm_source=x/b": "https://h.com/a&utm_source=x/b",
+        # ...and a '?&' inside a query VALUE is not a separator pair
+        "https://h.com/a?x=?&b=2": "https://h.com/a?x=?&b=2",
+        # a second '?' inside a value starts nothing; '?utm_' there is
+        # part of the value, not a tracking param
+        "https://h.com/a?x=1?utm_b=2": "https://h.com/a?x=1?utm_b=2",
+        # leading tracking param then empty-param mend still collapses
+        "https://h.com/a?utm_a=1&&p=3": "https://h.com/a?p=3",
     }
     got = _canon(spark, list(cases))
     for (src, want), g in zip(cases.items(), got):
@@ -84,6 +94,10 @@ def test_canonicalize_cross_engine_parity(spark):
         "http://h.com:443/x",
         "http://h.com:80/x",
         "https://h.com/a?xutm_a=1",
+        "https://h.com/a&utm_source=x/b",
+        "https://h.com/a?x=?&b=2",
+        "https://h.com/a?x=1?utm_b=2",
+        "https://h.com/a?utm_a=1&&p=3",
     ]
     got_spark = _canon(spark, urls)
     con = duckdb.connect()
