@@ -327,6 +327,13 @@ def run_query_scaling(sf_dir: str) -> dict:
     pair = os.environ.get("BENCH_SCALING_CORES", "8,32")
     mult = int(os.environ.get("BENCH_QSCALE_MULT", "64"))
     n_reps = int(os.environ.get("BENCH_QSCALE_REPS", "3"))
+    # comma-list override so a targeted re-measure (e.g. just the substring
+    # pair for shuffle-volume evidence) doesn't pay for the full heavy set
+    heavy = tuple(
+        q for q in os.environ.get(
+            "BENCH_QSCALE_QUERIES", ",".join(_HEAVY_QUERIES)).split(",")
+        if q
+    )
     n_lo, n_hi = (int(x) for x in pair.split(","))
     data_dir = _scaled_tables(sf_dir, mult) if mult > 1 else sf_dir
     qmap = entrymod.queries()
@@ -335,8 +342,8 @@ def run_query_scaling(sf_dir: str) -> dict:
         "input": f"{data_dir} ({mult}x {sf_dir})",
         "queries": {},
     }
-    secs: dict[str, dict[int, float]] = {q: {} for q in _HEAVY_QUERIES}
-    shuf: dict[str, dict[int, float]] = {q: {} for q in _HEAVY_QUERIES}
+    secs: dict[str, dict[int, float]] = {q: {} for q in heavy}
+    shuf: dict[str, dict[int, float]] = {q: {} for q in heavy}
     for cores in (n_lo, n_hi):
         stop_spark()
         spark = get_spark(
@@ -346,7 +353,7 @@ def run_query_scaling(sf_dir: str) -> dict:
             # before/after reads of a many-stage iterative query
             extra_conf={"spark.ui.retainedStages": "100000"},
         )
-        for q in _HEAVY_QUERIES:
+        for q in heavy:
             _force(qmap[q](spark, data_dir))  # untimed warm pass
             sb0 = _shuffle_write_bytes(spark)
             reps = []
@@ -369,7 +376,7 @@ def run_query_scaling(sf_dir: str) -> dict:
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
         stop_spark()
-    for q in _HEAVY_QUERIES:
+    for q in heavy:
         lo, hi = secs[q][n_lo], secs[q][n_hi]
         out["queries"][q] = {
             f"local[{n_lo}]_sec": round(lo, 3),
