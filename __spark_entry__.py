@@ -1558,6 +1558,98 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "label", "score1", "score0", "pred")
 
 
+def curate_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter with dot-boundary suffix semantics (the
+    UT1-style pre-content filter of RefinedWeb/FineWeb), via
+    curate.url_blocklist_filter: hostnames explode into their dot
+    suffixes and broadcast-hash-join the blocklist — never a LIKE
+    nested-loop. Synth URLs put every 5th doc on a ``*.ads.net`` host
+    (blocked by the ``ads.net`` suffix entry) and the rest on
+    ``h<k>.example.com`` (only h1/h4 exact-blocked; h14 must survive —
+    the dot-boundary test). Blocklist carries one uppercase entry to
+    exercise case folding."""
+    from ocr_spark.operators.curate import url_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("m"), (F.col("doc_id") / 20).cast("long")
+                         .cast("string"), F.lit(".ads.net")),
+            ).otherwise(
+                F.concat(F.lit("h"), (F.col("doc_id") / 20).cast("long")
+                         .cast("string"), F.lit(".example.com")),
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("ads.net",), ("h1.example.com",), ("H4.example.com",)],
+        "domain string",
+    )
+    out = url_blocklist_filter(urls, blocklist)
+    return out.select("doc_id", "host", "blocked")
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-40 word bigrams (curate.top_ngrams): one hash
+    aggregate with map-side partial combine, then TakeOrderedAndProject
+    for the top-k — no global sort, no single-partition window. The
+    (cnt DESC, ngram ASC) total order makes the k-boundary cut
+    deterministic, so the oracle's ORDER BY + LIMIT matches exactly."""
+    from ocr_spark.operators.curate import top_ngrams
+
+    return top_ngrams(
+        _t(spark, sf_dir, "documents"), text_col="text", n=2, k=40
+    )
+
+
+def shard_assign_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export assignment
+    (curate.shard_assign): shard = first 16 bits of md5(doc_id) mod 16,
+    in-shard position = rank by full digest — the seeded global shuffle
+    a training exporter runs so sequential readers see decorrelated
+    data. The window partitions by shard (bounded by shard sizing),
+    never a global total order."""
+    from ocr_spark.operators.curate import shard_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_assign(docs, id_col="doc_id", num_shards=16)
+
+
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (dedup.dedup_incremental): the day's
+    batch (docs with id%4==3, every other one carrying the text of an
+    already-committed doc) probes the committed corpus' fingerprints in
+    ONE join — new rows keep is_new=true, replays false. The batch is
+    the hash side; the huge history side streams (at scale: Iceberg
+    column pruning + bloom skipping on the fp column)."""
+    from ocr_spark.operators.dedup import dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", F.md5("text").alias("fp"))
+    history = fps.filter(F.col("doc_id") % 4 != 3)
+    src = fps.select(F.col("doc_id").alias("src_id"),
+                     F.col("fp").alias("src_fp"))
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 8 == 3, F.col("doc_id") - 1)
+            .otherwise(F.col("doc_id")).alias("_from"),
+        )
+        .join(src, F.col("_from") == F.col("src_id"))
+        .select("doc_id", F.col("src_fp").alias("fp"))
+    )
+    return dedup_incremental(history, batch).select(
+        "doc_id", "fp", "is_new"
+    )
+
+
 # The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
 DRIVER_CAP = 50
 
@@ -1565,15 +1657,24 @@ DRIVER_CAP = 50
 # never silently move a row in or out of it (the round-4 boundary was
 # implicit — "count the first 50" — flagged in ADVICE r4). Ordering is by
 # evidence need, computed from CORRECTNESS_r01..r04:
-#   1. never driver-checked (the round-5 streaming-replay query);
+#   1. never driver-checked (the five round-5 additions: streaming
+#      replay, URL blocklist, top-ngrams, shard export, incremental
+#      dedup);
 #   2. the 25 rows whose LAST driver green is r03 (rotated past the cap
 #      in round 4 under the documented long-green policy);
-#   3. the 21 round-4 additions whose ONLY green round is r04 (a second
-#      consecutive green is the strongest remaining evidence gain);
-#   4. three two-green rows (emb_neardup_lsh / ann_ivf_topk last green
-#      r02+r04; dedup_components, the iterative-CC row, r03+r04).
+#   3. round-4 additions whose ONLY green round is r04 (a second
+#      consecutive green is the strongest remaining evidence gain).
+# Rotated to the tail to make room for the four new round-5 rows: the
+# three two-green rows (emb_neardup_lsh / ann_ivf_topk green r02+r04;
+# dedup_components r03+r04) and sample_split_assign (green r04; its
+# md5-bucket range logic is the most heavily pytest-pinned of the
+# single-green block).
 DRIVER_CHECKED: tuple[str, ...] = (
     "stream_replay_equals_batch",
+    "curate_url_blocklist",
+    "text_top_ngrams",
+    "shard_assign_rank",
+    "dedup_incremental",
     # -- last green r03 -------------------------------------------------
     "text_lang_id",
     "text_fingerprint",
@@ -1621,17 +1722,17 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "search_bm25",
     "curation_funnel",
     "monitor_rate_anomalies",
-    "sample_split_assign",
-    # -- two green rounds --------------------------------------------------
-    "emb_neardup_lsh",
-    "ann_ivf_topk",
-    "dedup_components",
 )
 
 # Long-green tail, past the driver cap: every row here was driver-green
-# in round 4 and at least one earlier round; all stay pytest-oracled at
+# in round 4 and at least one earlier round (the first four rotated out
+# of the round-5 window per the note above); all stay pytest-oracled at
 # three SFs (tests/test_entry_contract.py runs the FULL map).
 LONG_GREEN_TAIL: tuple[str, ...] = (
+    "sample_split_assign",
+    "emb_neardup_lsh",
+    "ann_ivf_topk",
+    "dedup_components",
     "emb_neardup_pairs",
     "ann_lsh_topk",
     "ann_cosine_topk",
@@ -1671,6 +1772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     fns: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_replay_equals_batch": stream_replay_equals_batch,
+        "curate_url_blocklist": curate_url_blocklist,
+        "text_top_ngrams": text_top_ngrams,
+        "shard_assign_rank": shard_assign_rank,
+        "dedup_incremental": dedup_incremental_q,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -2673,6 +2778,71 @@ def _nb_quality_classifier_oracle(num_buckets: int = 64,
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    # Round-5 additions. url_blocklist: the oracle spells the generic
+    # suffix rule out per-entry (exact OR dot-suffix LIKE) over the same
+    # synth hosts; h14.example.com proves the dot boundary.
+    d["curate_url_blocklist"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'm' || (doc_id // 20) || '.ads.net'
+                      ELSE 'h' || (doc_id // 20) || '.example.com'
+                 END AS host
+          FROM documents
+        )
+        SELECT doc_id, host,
+               (host = 'ads.net' OR host LIKE '%.ads.net'
+                OR host = 'h1.example.com'
+                OR host = 'h4.example.com') AS blocked
+        FROM u
+    """
+    d["text_top_ngrams"] = """
+        WITH ws AS (
+          SELECT list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS w
+          FROM documents
+        ), g AS (
+          SELECT ws.w[i] || ' ' || ws.w[i+1] AS ngram
+          FROM ws, UNNEST(generate_series(1, len(ws.w) - 1)) AS t(i)
+        ), c AS (
+          SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY ngram
+        )
+        SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram ASC LIMIT 40
+    """
+    d["shard_assign_rank"] = """
+        WITH k AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+          FROM documents
+        ), s AS (
+          SELECT doc_id, key,
+                 CAST(('0x' || substr(key, 1, 4)) AS BIGINT) % 16 AS shard
+          FROM k
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY shard ORDER BY key, doc_id
+               ) AS BIGINT) AS pos
+        FROM s
+    """
+    d["dedup_incremental"] = """
+        WITH f AS (
+          SELECT doc_id, md5(text) AS fp FROM documents
+        ), h AS (
+          SELECT fp FROM f WHERE doc_id % 4 <> 3
+        ), b AS (
+          SELECT d.doc_id, f.fp
+          FROM documents d
+          JOIN f ON f.doc_id = CASE WHEN d.doc_id % 8 = 3
+                                    THEN d.doc_id - 1
+                                    ELSE d.doc_id END
+          WHERE d.doc_id % 4 = 3
+        )
+        SELECT b.doc_id, b.fp,
+               NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp) AS is_new
+        FROM b
+    """
     # The funnel oracle composes four signal oracles as CTEs (nested
     # WITH inside a parenthesized CTE body is legal DuckDB), so its
     # exactness is inherited from theirs. Thresholds mirror

@@ -30,9 +30,27 @@ from .resumable import partition_metrics
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): md5 over the canonical span payload (kind, text,
-    media_ref, offset in array order)."""
+    media_ref, offset in array order).
+
+    The span struct is re-projected into canonical field order before
+    serialization: different ingestion paths materialize the same
+    logical struct with different field orders (a pandas-sourced
+    DataFrame alphabetizes; the parquet schema keeps declaration order),
+    and to_json follows struct order — without the re-projection,
+    identical content arriving via two paths would fingerprint
+    differently and silently defeat every dedup built on this function.
+    """
+    canon = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].cast("int").alias("offset"),
+        ),
+    )
     return docs.select(
-        "doc_id", F.md5(F.to_json(F.col("spans"))).alias("fp")
+        "doc_id", F.md5(F.to_json(canon)).alias("fp")
     )
 
 
@@ -532,4 +550,163 @@ def cap_per_group(
             "rank", F.row_number().over(w_global).cast("long")
         )
         .filter(F.col("rank") <= k)
+    )
+
+
+def url_blocklist_filter(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-blocklist filter with suffix semantics (UT1/adult-list
+    style, the filter RefinedWeb and FineWeb apply before any content
+    work): a URL is blocked when its hostname EQUALS a blocked domain or
+    is a subdomain of one (dot-boundary suffix match) — ``ads.net``
+    blocks ``x.ads.net`` but never ``roads.net``.
+
+    Scale shape: the naive form is a LIKE-join (hostname LIKE
+    '%.'||domain), which Spark can only execute as a broadcast
+    nested-loop — O(rows x blocklist) with no hash pruning. Instead the
+    hostname is exploded into its dot-suffixes (``a.b.c`` -> [a.b.c,
+    b.c, c] — bounded by label count, ~4-6 per host), and the suffixes
+    hash-join the blocklist. With the usual few-MB blocklist that is a
+    broadcast HASH join per suffix row: no shuffle of the URL side at
+    all, and at 10^12 rows the cost is linear with a small constant.
+    Blocklist entries are matched case-insensitively on the registered
+    form (lowercased, no leading dot).
+
+    Returns the input rows plus (``host``, ``blocked``) — callers keep
+    ``~blocked`` for the survivor stream and route ``blocked`` rows to
+    the audit sink. Column order: input columns, host, blocked.
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    labeled = urls.withColumn("host", host).withColumn(
+        "_parts", F.split(F.col("host"), r"\.")
+    )
+    suffixes = labeled.select(
+        *urls.columns,
+        "host",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_parts") - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("_parts"), i + 1, F.size("_parts")
+                    ),
+                    ".",
+                ),
+            )
+        ).alias("_suffix"),
+    )
+    bl = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_suffix")
+    ).distinct()
+    blocked_ids = (
+        suffixes.join(F.broadcast(bl), "_suffix", "left_semi")
+        .select(*urls.columns, "host")
+        .distinct()
+    )
+    return (
+        labeled.drop("_parts")
+        .join(
+            F.broadcast(
+                blocked_ids.withColumn("blocked", F.lit(True))
+            ),
+            [*urls.columns, "host"],
+            "left",
+        )
+        .withColumn("blocked", F.coalesce("blocked", F.lit(False)))
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams with a deterministic total
+    order (count DESC, ngram ASC) — the frequency table every corpus
+    audit starts from (boilerplate phrase discovery, contamination
+    screens, tokenizer sanity checks).
+
+    Scale shape: tokenize + n-gram assembly stay inside whole-stage
+    codegen (split / transform / slice — no Python); the count is ONE
+    hash aggregate with map-side partial combine, so the shuffle carries
+    one row per DISTINCT n-gram per task, not per occurrence. The top-k
+    itself is ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject: each task keeps a local k-heap and the driver
+    merges P*k rows — no global sort, no single-partition window. At
+    10^12 documents the only unbounded term is the distinct-ngram count,
+    which the partial combine bounds per-task.
+
+    Returns (ngram string, cnt long), exactly ``k`` rows (fewer iff the
+    corpus has fewer distinct n-grams).
+    """
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def shard_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-shard assignment + in-shard position — the
+    exporter step that turns a curated corpus into N equal-ish shards
+    whose internal order is a seeded pseudo-random permutation (the
+    Dolma / Megatron-preprocessing pattern: global shuffle once at
+    export so sequential training readers see decorrelated data).
+
+    shard = first 16 bits of md5(id) mod num_shards; pos = rank within
+    the shard ordered by the full md5 digest (ties by id — md5 prefix
+    collisions must not make the order input-partition-dependent). Both
+    are pure column expressions, so the oracle can replay them exactly.
+
+    Scale shape: the window partitions by ``shard`` — at 100 TB you size
+    ``num_shards`` so one shard fits a task (64k shards x ~1.6 GB), and
+    the rank is a single shuffle on the shard key followed by a
+    per-partition sort; there is NO global total order anywhere. The
+    md5-derived key decorrelates adjacent doc_ids so every shard gets a
+    uniform sample of the corpus (hot-source runs are split, not
+    clustered, unlike a range-partitioned export).
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+        % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_key")
     )

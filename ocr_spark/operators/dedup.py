@@ -1024,3 +1024,45 @@ def dedup_lines(
         .select(F.col("id").alias("doc_id"), "n_lines_before",
                 "n_removed", "cleaned_text")
     )
+
+
+def dedup_incremental(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental dedup: which rows of a NEW batch are genuinely new
+    against the already-committed corpus — the shape every continuously
+    crawling pipeline runs per ingest cycle (dedup the day's crawl
+    against the petabytes already stored, NOT the corpus against
+    itself). Inputs carry a precomputed content fingerprint (``fp_col``,
+    e.g. md5 of the canonical payload as doc_fingerprint computes).
+
+    Semantics: a batch row survives iff its fingerprint appears nowhere
+    in history. Batch-internal duplicates are NOT collapsed here — that
+    is dedup_docs' job on the survivor stream; keeping the two steps
+    separate keeps each one a single join/aggregate.
+
+    Returns the batch rows plus ``is_new`` boolean (all input rows, so
+    the audit sink sees the drops with their fingerprints).
+
+    Scale shape: ONE left-anti-shaped join on a 32-hex key, probing the
+    batch (small, one ingest cycle) against history (huge). Spark builds
+    the hash side from the SMALLER input under AQE, and on an Iceberg
+    history table the fingerprint column is the only one read (column
+    pruning) with min/max + bloom skipping per file — the 100 TB side is
+    never shuffled in full. The realized form is a left join + null
+    test rather than two passes (anti for new + semi for dropped), so
+    history is probed once.
+    """
+    hist_fps = history.select(F.col(fp_col).alias("_hfp")).distinct()
+    return (
+        batch.join(
+            hist_fps,
+            batch[fp_col] == hist_fps["_hfp"],
+            "left",
+        )
+        .withColumn("is_new", F.col("_hfp").isNull())
+        .drop("_hfp")
+    )

@@ -214,3 +214,85 @@ def stream_rate_alarms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_dedup(
+    docs_stream: DataFrame,
+    store: SnapshotTable,
+    audit: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_interval: str = "200 milliseconds",
+) -> StreamingQuery:
+    """Durable incremental ingest dedup on a live document stream: each
+    micro-batch's content fingerprints probe the COMMITTED corpus
+    (operators/dedup.dedup_incremental — one join against the snapshot
+    store), replays are dropped, genuinely-new payloads MERGE in keyed
+    by fingerprint.
+
+    Complement of stateful.stream_dedup_first_seen: that operator keeps
+    the seen-set in Spark's managed streaming state (fast, but scoped to
+    one query's checkpoint); this one dedups against the durable
+    snapshot table, so the seen-set is shared with the batch pipeline,
+    survives checkpoint deletion, and covers content committed BEFORE
+    the stream started (the real per-cycle crawl shape: today's stream
+    vs years of corpus).
+
+    Exactly-once accounting: the per-batch summary row MERGEs into the
+    audit table keyed by batch_id, so a crash-replayed micro-batch
+    overwrites its own stats instead of double-counting (same discipline
+    as stream_rate_alarms). The store merge is idempotent by
+    construction — fingerprint is the key and a replay writes the same
+    (fp, first_doc_id) row; a replay AFTER the store commit finds its
+    rows in history and merges nothing.
+
+    ``store`` must be keyed by ``fp``; ``audit`` by ``batch_id``.
+    """
+    from ..operators.curate import doc_fingerprint
+    from ..operators.dedup import dedup_incremental
+
+    if store.key_col != "fp":
+        raise ValueError("store must be keyed by fp")
+    if audit.key_col != "batch_id":
+        raise ValueError("audit must be keyed by batch_id")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fps = doc_fingerprint(batch_df)
+        if store.current_version():
+            history = store.read(spark).select("fp")
+        else:
+            history = spark.createDataFrame([], "fp string")
+        probed = dedup_incremental(history, fps).persist()
+        try:
+            # batch-internal keep-first among the new rows (the committed
+            # store can't arbitrate duplicates arriving in ONE batch)
+            new = (
+                probed.filter("is_new")
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("first_doc_id"))
+            )
+            sv = store.merge_upsert(new)
+            n_seen = probed.count()
+            n_replay = probed.filter(~F.col("is_new")).count()
+            audit.merge_upsert(
+                spark.createDataFrame(
+                    [(batch_id, n_seen, n_replay)],
+                    "batch_id long, n_seen long, n_replayed long",
+                ).withColumn("store_version", F.lit(sv))
+            )
+        finally:
+            probed.unpersist()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()

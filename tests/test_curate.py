@@ -395,3 +395,117 @@ def test_domain_cap_query_drops_rows(spark):
     kept = entry_mod.curate_domain_cap(spark, sf_dir).count()
     total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert 0 < kept < total
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    from ocr_spark.operators.curate import url_blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://x.ads.net/a"),        # subdomain of blocked
+            (2, "https://ads.net/b"),          # exact blocked
+            (3, "https://roads.net/c"),        # NOT a dot-suffix match
+            (4, "https://h1.example.com/d"),   # exact blocked
+            (5, "https://h14.example.com/e"),  # prefix-similar, survives
+            (6, "https://deep.x.ads.net:8080/f?q=1"),  # nested subdomain
+            (7, "https://H1.EXAMPLE.com/g"),   # case-folded host
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("ads.net",), ("H1.example.com",)], "domain string"
+    )
+    out = {
+        r["doc_id"]: (r["host"], r["blocked"])
+        for r in url_blocklist_filter(urls, bl).collect()
+    }
+    assert out[1] == ("x.ads.net", True)
+    assert out[2] == ("ads.net", True)
+    assert out[3] == ("roads.net", False)
+    assert out[4] == ("h1.example.com", True)
+    assert out[5] == ("h14.example.com", False)
+    assert out[6] == ("deep.x.ads.net", True)
+    assert out[7] == ("h1.example.com", True)
+    assert len(out) == 7  # one row per input, no explode leakage
+
+
+def test_url_blocklist_plan_is_broadcast_hash(spark):
+    """The suffix join must be a broadcast HASH join, never a
+    broadcast nested-loop (the LIKE-join shape this operator exists to
+    avoid)."""
+    from ocr_spark.operators.curate import url_blocklist_filter
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.b.c/x")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame([("b.c",)], "domain string")
+    plan = (
+        url_blocklist_filter(urls, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from ocr_spark.operators.curate import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox! red fox; blue fox"),
+            (2, "Red FOX jumps"),
+            (3, "solo"),          # shorter than n -> contributes nothing
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, "text", n=2, k=3).collect()
+    assert [(r["ngram"], r["cnt"]) for r in rows] == [
+        ("red fox", 3),       # case/punct-folded across docs
+        ("blue fox", 1),      # cnt ties broken by ngram ASC
+        ("fox blue", 1),
+    ]
+
+
+def test_top_ngrams_trigram_and_k_bound(spark):
+    from ocr_spark.operators.curate import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = top_ngrams(docs, "text", n=3, k=10).collect()
+    assert [(r["ngram"], r["cnt"]) for r in rows] == [
+        ("a b c", 2), ("b c d", 1)
+    ]
+
+
+def test_shard_assign_partition_of_input(spark):
+    from ocr_spark.operators.curate import shard_assign
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = shard_assign(docs, num_shards=8).collect()
+    assert len(out) == 200
+    assert {r["doc_id"] for r in out} == set(range(200))
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard's positions are exactly 1..len (dense rank, no gaps)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # md5 keying decorrelates ids: no shard is empty or dominant at n=200
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert len(by_shard) == 8 and sizes[0] >= 10
+
+
+def test_shard_assign_deterministic_under_repartition(spark):
+    from ocr_spark.operators.curate import shard_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shard_assign(docs, num_shards=4).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shard_assign(docs.repartition(13), num_shards=4)
+         .collect()}
+    assert a == b

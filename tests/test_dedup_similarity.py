@@ -839,3 +839,43 @@ def test_checkpoint_truncate_reliable_mode(spark, tmp_path):
             sc._jvm.scala.Option.empty()
         )
         assert sc.getCheckpointDir() is None
+
+
+def test_dedup_incremental_flags_replays(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import dedup_incremental
+
+    history = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc")], "doc_id long, text string"
+    ).select("doc_id", F.md5("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [(10, "bb"),   # replay of history doc 2
+         (11, "zz"),   # genuinely new
+         (12, "bb"),   # second replay of the same content
+         (13, "zz")],  # batch-internal dup of 11: still is_new here
+        "doc_id long, text string",
+    ).select("doc_id", F.md5("text").alias("fp"))
+    out = {r["doc_id"]: r["is_new"]
+           for r in dedup_incremental(history, batch).collect()}
+    assert out == {10: False, 11: True, 12: False, 13: True}
+
+
+def test_dedup_incremental_duplicate_history_rows_no_fanout(spark):
+    """History may hold the same fingerprint many times (it is the raw
+    committed corpus, not a dedup'd index); the probe must not fan out
+    batch rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import dedup_incremental
+
+    history = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "aa")], "doc_id long, text string"
+    ).select("doc_id", F.md5("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [(10, "aa"), (11, "new")], "doc_id long, text string"
+    ).select("doc_id", F.md5("text").alias("fp"))
+    rows = dedup_incremental(history, batch).collect()
+    assert len(rows) == 2
+    out = {r["doc_id"]: r["is_new"] for r in rows}
+    assert out == {10: False, 11: True}

@@ -325,3 +325,98 @@ def test_stream_rate_alarms_matches_batch_and_replays_idempotent(
     again = [(r["event_type"], r["hour"]) for r in
              alarms.read(spark).collect()]
     assert len(again) == len(set(again)) == 1
+
+
+def test_stream_ingest_dedup_against_committed_store(
+    spark, tmp_path, corpus
+):
+    """Durable incremental dedup: the stream drops replays of content
+    committed BEFORE the stream started (batch-seeded store), dedups
+    across micro-batches through the store, and the final store equals
+    the batch twin (one row per distinct payload, first doc id wins)."""
+    import pyarrow as pa
+
+    from ocr_spark.operators.curate import doc_fingerprint
+    from ocr_spark.streaming.pipeline import stream_ingest_dedup
+
+    docs_tbl = corpus["documents_interleaved"]
+    store = SnapshotTable(str(tmp_path / "store"), key_col="fp",
+                          n_buckets=4)
+    audit = SnapshotTable(str(tmp_path / "aud"), key_col="batch_id",
+                          n_buckets=2)
+
+    # seed the store from the BATCH pipeline: docs 0..10 committed
+    seeded = spark.createDataFrame(docs_tbl.slice(0, 10).to_pandas())
+    store.merge_upsert(
+        doc_fingerprint(seeded)
+        .groupBy("fp").agg(F.min("doc_id").alias("first_doc_id"))
+    )
+    assert store.read(spark).count() == 10
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    # batch 1: replays of committed docs 0..5 under new ids + new 10..20
+    part1 = pa.concat_tables([
+        pa.table({
+            "doc_id": pa.array(["replay-" + v for v in
+                                docs_tbl.slice(0, 5)["doc_id"]
+                                .to_pylist()]),
+            "spans": docs_tbl.slice(0, 5)["spans"],
+        }),
+        docs_tbl.slice(10, 10),
+    ])
+    pq.write_table(part1, os.path.join(inbox, "b1.parquet"))
+    # batch 2: replays of BATCH-1 stream content + new 20..25
+    part2 = pa.concat_tables([
+        pa.table({
+            "doc_id": pa.array(["replay2-" + v for v in
+                                docs_tbl.slice(10, 5)["doc_id"]
+                                .to_pylist()]),
+            "spans": docs_tbl.slice(10, 5)["spans"],
+        }),
+        docs_tbl.slice(20, 5),
+    ])
+    pq.write_table(part2, os.path.join(inbox, "b2.parquet"))
+
+    q = stream_ingest_dedup(
+        read_document_stream(spark, inbox, max_files_per_trigger=1),
+        store, audit, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = store.read(spark).collect()
+    by_fp = {r["fp"]: r["first_doc_id"] for r in rows}
+    assert len(rows) == len(by_fp) == 25  # 10 seeded + 10 + 5 new
+    # no replay id ever wins a fingerprint
+    assert all(not d.startswith(("replay-", "replay2-"))
+               for d in by_fp.values())
+    # batch twin: dedup over everything-seen gives the same store
+    everything = spark.createDataFrame(
+        docs_tbl.slice(0, 25).to_pandas()
+    )
+    twin = {
+        (r["fp"], r["first_doc_id"]) for r in
+        doc_fingerprint(everything)
+        .groupBy("fp").agg(F.min("doc_id").alias("first_doc_id"))
+        .collect()
+    }
+    assert {(f, d) for f, d in by_fp.items()} == twin
+    # audit: replay counts per batch, overwritten not double-counted
+    arows = {r["batch_id"]: (r["n_seen"], r["n_replayed"])
+             for r in audit.read(spark).collect()}
+    assert arows == {0: (15, 5), 1: (10, 5)}
+
+    # fresh checkpoint, same inbox: every payload is now committed, so
+    # the reprocess merges NOTHING new (durable dedup survives
+    # checkpoint loss — the property managed state cannot give)
+    v_before = store.current_version()
+    q2 = stream_ingest_dedup(
+        read_document_stream(spark, inbox, max_files_per_trigger=1),
+        store, audit, str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert store.read(spark).count() == 25
+    rows2 = {(r["fp"], r["first_doc_id"])
+             for r in store.read(spark).collect()}
+    assert rows2 == twin
+    assert store.current_version() == v_before  # empty merges, no churn
