@@ -1650,6 +1650,68 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (curate.
+    weighted_sample, Efraimidis-Spirakis 2006): 150 docs selected with
+    probability proportional to quality-derived integer weights, no RNG
+    (u from the id's md5 bits), ranking key ln(u)/w pinned to a nano
+    grid before the TakeOrdered top-k. Ties break by doc_id, so the
+    selection boundary is deterministic and the oracle's ORDER BY +
+    LIMIT replays it exactly."""
+    from ocr_spark.functions.textstats import quality_score
+    from ocr_spark.operators.curate import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.floor(quality_score("text") * 10000 + F.lit(0.5))
+         .cast("long") + 1).alias("w"),
+    )
+    return weighted_sample(docs, "doc_id", "w", n=150).select(
+        "doc_id", "w", "es_key"
+    )
+
+
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph construction from HTML anchors
+    (boilerplate.extract_links): each synthesized page carries three
+    hrefs — a relative next-link, an absolute tracking-params link, and
+    a hot back-link ((doc_id%7)*3, in-degree ~n/7: the skew shape real
+    hub pages produce). Targets resolve by path id; the aggregate is
+    one map-side-combined groupBy (in_degree, n_srcs, min_src) — the
+    crawl-frontier/PageRank input step, all Catalyst."""
+    from ocr_spark.operators.boilerplate import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p>intro</p><a href="/doc/'),
+            (d + 11).cast("string"),
+            F.lit('">n</a><a href="https://h'),
+            (d % 20).cast("string"),
+            F.lit('.example.com/doc/'),
+            (d + 23).cast("string"),
+            F.lit('?utm_source=x">f</a><a href="/doc/'),
+            ((d % 7) * 3).cast("string"),
+            F.lit('">b</a></body></html>'),
+        ).alias("html"),
+    )
+    links = extract_links(pages)
+    target = F.regexp_extract(
+        F.col("href"), r"/doc/([0-9]+)", 1
+    ).cast("long")
+    return (
+        links.select("src", target.alias("target"))
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.countDistinct("src").alias("n_srcs"),
+            F.min("src").alias("min_src"),
+        )
+    )
+
+
 # The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
 DRIVER_CAP = 50
 
@@ -1664,17 +1726,20 @@ DRIVER_CAP = 50
 #      in round 4 under the documented long-green policy);
 #   3. round-4 additions whose ONLY green round is r04 (a second
 #      consecutive green is the strongest remaining evidence gain).
-# Rotated to the tail to make room for the four new round-5 rows: the
+# Rotated to the tail to make room for the six new round-5 rows: the
 # three two-green rows (emb_neardup_lsh / ann_ivf_topk green r02+r04;
-# dedup_components r03+r04) and sample_split_assign (green r04; its
-# md5-bucket range logic is the most heavily pytest-pinned of the
-# single-green block).
+# dedup_components r03+r04) and three single-green-r04 rows chosen for
+# the strongest pytest backstops (sample_split_assign's md5-bucket
+# ranges, text_char_entropy's planted known-entropy values,
+# sample_mixture's bit-exact quota arithmetic).
 DRIVER_CHECKED: tuple[str, ...] = (
     "stream_replay_equals_batch",
     "curate_url_blocklist",
     "text_top_ngrams",
     "shard_assign_rank",
     "dedup_incremental",
+    "sample_weighted",
+    "html_link_graph",
     # -- last green r03 -------------------------------------------------
     "text_lang_id",
     "text_fingerprint",
@@ -1713,8 +1778,6 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "graph_pagerank",
     "nb_quality_classifier",
     "bpe_encode",
-    "text_char_entropy",
-    "sample_mixture",
     "dedup_substring_runs",
     "dedup_substring_trim",
     "a10_histogram_percentiles",
@@ -1729,6 +1792,8 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # of the round-5 window per the note above); all stay pytest-oracled at
 # three SFs (tests/test_entry_contract.py runs the FULL map).
 LONG_GREEN_TAIL: tuple[str, ...] = (
+    "text_char_entropy",
+    "sample_mixture",
     "sample_split_assign",
     "emb_neardup_lsh",
     "ann_ivf_topk",
@@ -1776,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": text_top_ngrams,
         "shard_assign_rank": shard_assign_rank,
         "dedup_incremental": dedup_incremental_q,
+        "sample_weighted": sample_weighted,
+        "html_link_graph": html_link_graph,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -2825,6 +2892,48 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY shard ORDER BY key, doc_id
                ) AS BIGINT) AS pos
         FROM s
+    """
+    d["sample_weighted"] = f"""
+        WITH q AS ({_QUALITY_SELECT}),
+        w AS (
+          SELECT doc_id,
+                 CAST(floor(quality * 10000 + 0.5) AS BIGINT) + 1 AS w
+          FROM q
+        ), k AS (
+          SELECT doc_id, w,
+                 CAST(floor(
+                   (ln(CAST(('0x' ||
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS BIGINT) + 1.0) - 52.0 * ln(2.0))
+                   / CAST(w AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS es_key
+          FROM w
+        )
+        SELECT doc_id, w, es_key FROM k
+        ORDER BY es_key DESC, doc_id ASC LIMIT 150
+    """
+    d["html_link_graph"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 '<html><body><p>intro</p><a href="/doc/'
+                 || (doc_id + 11)
+                 || '">n</a><a href="https://h' || (doc_id % 20)
+                 || '.example.com/doc/' || (doc_id + 23)
+                 || '?utm_source=x">f</a><a href="/doc/'
+                 || ((doc_id % 7) * 3)
+                 || '">b</a></body></html>' AS html
+          FROM documents
+        ), l AS (
+          SELECT doc_id AS src,
+                 unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                   AS href
+          FROM p
+        )
+        SELECT CAST(regexp_extract(href, '/doc/([0-9]+)', 1) AS BIGINT)
+                 AS target,
+               CAST(count(*) AS BIGINT) AS in_degree,
+               CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+               min(src) AS min_src
+        FROM l GROUP BY 1
     """
     d["dedup_incremental"] = """
         WITH f AS (

@@ -32,3 +32,33 @@ def strip_boilerplate_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     # /root/reference/src/ocr/tesseract.js:13-29).
     for series in batches:
         yield series.map(strip_boilerplate, na_action="ignore").fillna("")
+
+
+def extract_links(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor (href) extraction from HTML pages — the DOM step that
+    turns a crawled corpus into its link graph (crawl frontier
+    expansion, PageRank input, anchor-text signals). Mirrors the href
+    scan of the boilerplate stripper's link-density scoring but emits
+    the links themselves, in document order.
+
+    Pure Catalyst: regexp_extract_all + posexplode, no Python in the
+    row path; the pattern is in the common Java-regex/RE2 subset so a
+    SQL oracle can replay it verbatim. Pages with no anchors emit no
+    rows (posexplode of an empty array).
+
+    Returns (src, pos, href): source id, 0-based anchor position in the
+    page, raw href value. Callers canonicalize/resolve hrefs and build
+    degree aggregates on top (see the html_link_graph driver query).
+    """
+    return pages.select(
+        F.col(id_col).alias("src"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit('href="([^"]*)"'), 1
+            )
+        ).alias("pos", "href"),
+    )

@@ -710,3 +710,50 @@ def shard_assign(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_key")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): keep the ``n`` rows with the largest u^(1/w), which
+    selects each subset with probability proportional to its weights —
+    the quality-weighted subset selection step of curated-corpus
+    construction (sample harder from high-quality sources without
+    hard-cutting the tail).
+
+    No RNG: u derives from the row id (first 52 md5 bits -> u =
+    (h+1)/2^52, u in (0,1]), so membership is reproducible and stable
+    across reruns — the same property the md5-bucket split/stratified
+    samplers in this module guarantee. The ranking key is computed in
+    log space, ln(u)/w (monotone in u^(1/w)), and pinned to an integer
+    nano grid (floor(x*1e9 + 0.5)) before comparison; ties break by id.
+    ``weight_col`` must hold POSITIVE integers (callers grid-pin
+    fractional weights first, e.g. quality*1e4 + 1) — the constant
+    weight scale cancels in the ranking.
+
+    Scale shape: key computation is per-row Catalyst arithmetic; the
+    selection is orderBy(...).limit(n) = TakeOrderedAndProject (local
+    k-heap per task, driver merges P*n) — no global sort, no window.
+
+    Returns the selected rows with their ``es_key`` (the pinned long).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    ln_u = F.log(h.cast("double") + F.lit(1.0)) \
+        - F.lit(52.0) * F.log(F.lit(2.0))
+    key = F.floor(
+        ln_u / F.col(weight_col).cast("double") * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

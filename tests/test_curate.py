@@ -509,3 +509,58 @@ def test_shard_assign_deterministic_under_repartition(spark):
          for r in shard_assign(docs.repartition(13), num_shards=4)
          .collect()}
     assert a == b
+
+
+def test_weighted_sample_matches_brute_force_formula(spark):
+    import hashlib
+    import math
+
+    from ocr_spark.operators.curate import weighted_sample
+
+    rows = [(i, (i % 5) * 1000 + 1) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r["doc_id"], r["es_key"])
+           for r in weighted_sample(docs, "doc_id", "w", n=20).collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        return math.floor(
+            (math.log(h + 1.0) - 52.0 * math.log(2.0)) / w * 1e9 + 0.5
+        )
+
+    expect = sorted(
+        ((i, key(i, w)) for i, w in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """Statistical sanity: with weights 1000:1, the heavy class should
+    dominate the selection (E-S keys of heavy items sit far closer
+    to 0)."""
+    from ocr_spark.operators.curate import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 100000 if i < 50 else 100) for i in range(1000)],
+        "doc_id long, w long",
+    )
+    picked = {r["doc_id"]
+              for r in weighted_sample(docs, "doc_id", "w", n=50)
+              .collect()}
+    heavy = sum(1 for d in picked if d < 50)
+    assert heavy >= 40  # 50 heavy ids vs 950 light at 1000x weight
+
+
+def test_weighted_sample_repartition_invariant(spark):
+    from ocr_spark.operators.curate import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(300)], "doc_id long, w long"
+    )
+    a = [(r["doc_id"], r["es_key"])
+         for r in weighted_sample(docs, "doc_id", "w", n=30).collect()]
+    b = [(r["doc_id"], r["es_key"])
+         for r in weighted_sample(docs.repartition(17), "doc_id", "w",
+                                  n=30).collect()]
+    assert a == b

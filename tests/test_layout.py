@@ -39,3 +39,23 @@ def test_reading_order_planted_layout(spark):
     assert out[("p2", "head")] == (0, 1)
     assert out[("p2", "left")] == (0, 2)
     assert out[("p2", "right")] == (0, 3)
+
+
+def test_extract_links_order_and_empty_pages(spark):
+    from ocr_spark.operators.boilerplate import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="/x">one</a><p>mid</p><a href="https://e.com/y?a=1">two</a>'),
+            (2, "<p>no anchors at all</p>"),
+            (3, '<img src="/not-a-link.png"><a href="">empty</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    rows = [(r["src"], r["pos"], r["href"])
+            for r in extract_links(pages).collect()]
+    assert sorted(rows) == [
+        (1, 0, "/x"),
+        (1, 1, "https://e.com/y?a=1"),
+        (3, 0, ""),
+    ]  # page 2 emits nothing; src= attributes are not anchors
