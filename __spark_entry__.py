@@ -1712,6 +1712,45 @@ def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_anchor_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target
+    (boilerplate.extract_anchor_texts): the off-page signal crawlers
+    index against the TARGET page. Synth pages carry a next-link and a
+    hot hub-link, each with a small anchor vocabulary; the aggregate
+    (n_anchors, sorted distinct anchor set) is one map-side-combined
+    groupBy on the target id."""
+    from ocr_spark.operators.boilerplate import extract_anchor_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p>x</p><a href="/doc/'),
+            (d + 11).cast("string"),
+            F.lit('">next '),
+            (d % 5).cast("string"),
+            F.lit('</a><a href="/doc/'),
+            ((d % 7) * 3).cast("string"),
+            F.lit('" rel="nofollow">hub '),
+            (d % 3).cast("string"),
+            F.lit("</a>"),
+        ).alias("html"),
+    )
+    at = extract_anchor_texts(pages)
+    target = F.regexp_extract(
+        F.col("href"), r"/doc/([0-9]+)", 1
+    ).cast("long")
+    return (
+        at.select(target.alias("target"), "anchor")
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sort_array(F.collect_set("anchor")).alias("anchors"),
+        )
+    )
+
+
 # The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
 DRIVER_CAP = 50
 
@@ -1719,19 +1758,20 @@ DRIVER_CAP = 50
 # never silently move a row in or out of it (the round-4 boundary was
 # implicit — "count the first 50" — flagged in ADVICE r4). Ordering is by
 # evidence need, computed from CORRECTNESS_r01..r04:
-#   1. never driver-checked (the five round-5 additions: streaming
-#      replay, URL blocklist, top-ngrams, shard export, incremental
-#      dedup);
+#   1. never driver-checked (the round-5 additions: streaming replay,
+#      URL blocklist, top-ngrams, shard export, incremental dedup,
+#      weighted sampling, link graph, anchor signals);
 #   2. the 25 rows whose LAST driver green is r03 (rotated past the cap
 #      in round 4 under the documented long-green policy);
 #   3. round-4 additions whose ONLY green round is r04 (a second
 #      consecutive green is the strongest remaining evidence gain).
-# Rotated to the tail to make room for the six new round-5 rows: the
+# Rotated to the tail to make room for the seven new round-5 rows: the
 # three two-green rows (emb_neardup_lsh / ann_ivf_topk green r02+r04;
 # dedup_components r03+r04) and three single-green-r04 rows chosen for
 # the strongest pytest backstops (sample_split_assign's md5-bucket
 # ranges, text_char_entropy's planted known-entropy values,
-# sample_mixture's bit-exact quota arithmetic).
+# sample_mixture's bit-exact quota arithmetic,
+# a10_histogram_percentiles' error-bound + mergeability pins).
 DRIVER_CHECKED: tuple[str, ...] = (
     "stream_replay_equals_batch",
     "curate_url_blocklist",
@@ -1740,6 +1780,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dedup_incremental",
     "sample_weighted",
     "html_link_graph",
+    "html_anchor_signals",
     # -- last green r03 -------------------------------------------------
     "text_lang_id",
     "text_fingerprint",
@@ -1780,7 +1821,6 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "bpe_encode",
     "dedup_substring_runs",
     "dedup_substring_trim",
-    "a10_histogram_percentiles",
     "decontaminate_semantic",
     "search_bm25",
     "curation_funnel",
@@ -1792,6 +1832,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # of the round-5 window per the note above); all stay pytest-oracled at
 # three SFs (tests/test_entry_contract.py runs the FULL map).
 LONG_GREEN_TAIL: tuple[str, ...] = (
+    "a10_histogram_percentiles",
     "text_char_entropy",
     "sample_mixture",
     "sample_split_assign",
@@ -1843,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental_q,
         "sample_weighted": sample_weighted,
         "html_link_graph": html_link_graph,
+        "html_anchor_signals": html_anchor_signals,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -2934,6 +2976,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
                min(src) AS min_src
         FROM l GROUP BY 1
+    """
+    d["html_anchor_signals"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 '<p>x</p><a href="/doc/' || (doc_id + 11)
+                 || '">next ' || (doc_id % 5)
+                 || '</a><a href="/doc/' || ((doc_id % 7) * 3)
+                 || '" rel="nofollow">hub ' || (doc_id % 3)
+                 || '</a>' AS html
+          FROM documents
+        ), t AS (
+          SELECT doc_id AS src,
+                 unnest(regexp_extract_all(
+                   html, '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS tag
+          FROM p
+        )
+        SELECT CAST(regexp_extract(
+                 regexp_extract(tag, 'href="([^"]*)"', 1),
+                 '/doc/([0-9]+)', 1) AS BIGINT) AS target,
+               CAST(count(*) AS BIGINT) AS n_anchors,
+               list_sort(list_distinct(
+                 list(regexp_extract(tag, '>([^<]*)</a>', 1))))
+                 AS anchors
+        FROM t GROUP BY 1
     """
     d["dedup_incremental"] = """
         WITH f AS (

@@ -62,3 +62,40 @@ def extract_links(
             )
         ).alias("pos", "href"),
     )
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src, pos, href, anchor) extraction — extract_links plus the
+    anchor's inner text, the classic off-page relevance signal (anchor
+    text describes the TARGET page; search engines index it against the
+    target, and crawl pipelines use it as a quality/topic prior for
+    frontier scheduling).
+
+    Catalyst-only two-step: regexp_extract_all captures each complete
+    well-formed anchor element (href attribute + simple inner text),
+    then a transform() re-extracts the two parts per element — Spark's
+    regexp_extract_all returns a single capture group, so pairing href
+    with text in ONE pass needs the per-element second extract rather
+    than two parallel scans that could desynchronize on malformed
+    anchors (an <a> with no href would shift one list but not the
+    other). Anchors with nested markup in the text are skipped by the
+    [^<]* inner pattern — the boilerplate stripper owns full DOM
+    handling; this operator mirrors a crawler's cheap anchor scan.
+    """
+    tag_pat = '<a href="[^"]*"[^>]*>[^<]*</a>'
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(tag_pat), 0)
+    return pages.select(
+        F.col(id_col).alias("src"),
+        F.posexplode(tags).alias("pos", "_tag"),
+    ).select(
+        "src",
+        "pos",
+        F.regexp_extract(F.col("_tag"), 'href="([^"]*)"', 1)
+        .alias("href"),
+        F.regexp_extract(F.col("_tag"), ">([^<]*)</a>", 1)
+        .alias("anchor"),
+    )

@@ -564,3 +564,81 @@ def test_weighted_sample_repartition_invariant(spark):
          for r in weighted_sample(docs.repartition(17), "doc_id", "w",
                                   n=30).collect()]
     assert a == b
+
+
+def test_url_blocklist_randomized_python_reference(spark):
+    """300 seeded random URLs vs a pure-Python suffix matcher — the
+    generalization of the hand-picked boundary cases above."""
+    import numpy as np
+
+    from ocr_spark.operators.curate import url_blocklist_filter
+
+    rng = np.random.default_rng(417)
+    labels = ["a", "b", "ads", "cdn", "x1", "roads", "net", "com"]
+    hosts = [
+        ".".join(rng.choice(labels, size=rng.integers(1, 5)))
+        for _ in range(300)
+    ]
+    urls = [(i, f"https://{h}:{rng.integers(80, 9000)}/p{i}?q={i}")
+            for i, h in enumerate(hosts)]
+    bl = ["ads.net", "b.com", "x1"]
+
+    def py_blocked(h):
+        parts = h.split(".")
+        sufs = {".".join(parts[i:]) for i in range(len(parts))}
+        return bool(sufs & set(bl))
+
+    out = url_blocklist_filter(
+        spark.createDataFrame(urls, "doc_id long, url string"),
+        spark.createDataFrame([(d,) for d in bl], "domain string"),
+    ).collect()
+    assert len(out) == 300
+    for r in out:
+        assert r["blocked"] == py_blocked(r["host"]), r["host"]
+
+
+def test_top_ngrams_randomized_counter_reference(spark):
+    import collections
+    import re
+
+    import numpy as np
+
+    from ocr_spark.operators.curate import top_ngrams
+
+    rng = np.random.default_rng(98)
+    vocab = ["aa", "Bb", "c3", "d-d", "e"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+             for _ in range(120)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cnt = collections.Counter()
+    for t in texts:
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        cnt.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["ngram"], r["cnt"])
+           for r in top_ngrams(docs, "text", n=2, k=25).collect()]
+    assert got == want
+
+
+def test_shard_assign_python_reference(spark):
+    import hashlib
+
+    from ocr_spark.operators.curate import shard_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(500)],
+                                 "doc_id long")
+    got = {(r["doc_id"], r["shard"], r["pos"])
+           for r in shard_assign(docs, num_shards=16).collect()}
+
+    keyed = [(i, hashlib.md5(str(i).encode()).hexdigest())
+             for i in range(500)]
+    by_shard: dict = {}
+    for i, k in keyed:
+        by_shard.setdefault(int(k[:4], 16) % 16, []).append((k, i))
+    want = set()
+    for shard, members in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(members), start=1):
+            want.add((i, shard, pos))
+    assert got == want

@@ -59,3 +59,28 @@ def test_extract_links_order_and_empty_pages(spark):
         (1, 1, "https://e.com/y?a=1"),
         (3, 0, ""),
     ]  # page 2 emits nothing; src= attributes are not anchors
+
+
+def test_extract_anchor_texts_pairing_stays_synchronized(spark):
+    """An anchor WITHOUT href must not shift href/text pairing (the
+    failure mode of two parallel regex scans)."""
+    from ocr_spark.operators.boilerplate import extract_anchor_texts
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="/a">first</a><a name="x">no-href</a>'
+                '<a href="/b" class="c">second</a>'),
+            (2, '<a href="/n"><b>nested markup skipped</b></a>'
+                '<a href="/m">plain</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r["src"], r["pos"], r["href"], r["anchor"])
+        for r in extract_anchor_texts(pages).collect()
+    )
+    assert rows == [
+        (1, 0, "/a", "first"),
+        (1, 1, "/b", "second"),
+        (2, 0, "/m", "plain"),
+    ]
