@@ -1751,6 +1751,52 @@ def html_anchor_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-exclusion gate (curate.robots_filter): hosts
+    h<k>.example.com with k%3==0 publish Disallow /p/ + Allow /p/1
+    (longest-match, allow wins ties), every other host has no rules
+    (default allow) — so a doc is blocked exactly when its host has
+    rules and its id does not start with '1'. Broadcast rules join +
+    ONE keyed max(struct) winner aggregate, no per-URL window."""
+    from ocr_spark.operators.curate import robots_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit("m"), (d / 20).cast("long").cast("string"),
+                         F.lit(".ads.net")),
+            ).otherwise(
+                F.concat(F.lit("h"), (d / 20).cast("long").cast("string"),
+                         F.lit(".example.com")),
+            ),
+            F.lit("/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    ks = docs.select((d / 20).cast("long").alias("k")).distinct()
+    rules = (
+        ks.filter((F.col("k") % 3) == 0)
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"),
+                     F.lit(".example.com")).alias("domain"),
+            F.explode(F.array(
+                F.struct(F.lit("/p/").alias("path_prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/p/1").alias("path_prefix"),
+                         F.lit(True).alias("allow")),
+            )).alias("rule"),
+        )
+        .select("domain", "rule.path_prefix", "rule.allow")
+    )
+    out = robots_filter(urls, rules)
+    return out.select("doc_id", "host", "path", "allowed")
+
+
 # The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
 DRIVER_CAP = 50
 
@@ -1760,18 +1806,19 @@ DRIVER_CAP = 50
 # evidence need, computed from CORRECTNESS_r01..r04:
 #   1. never driver-checked (the round-5 additions: streaming replay,
 #      URL blocklist, top-ngrams, shard export, incremental dedup,
-#      weighted sampling, link graph, anchor signals);
+#      weighted sampling, link graph, anchor signals, robots gate);
 #   2. the 25 rows whose LAST driver green is r03 (rotated past the cap
 #      in round 4 under the documented long-green policy);
 #   3. round-4 additions whose ONLY green round is r04 (a second
 #      consecutive green is the strongest remaining evidence gain).
-# Rotated to the tail to make room for the seven new round-5 rows: the
+# Rotated to the tail to make room for the eight new round-5 rows: the
 # three two-green rows (emb_neardup_lsh / ann_ivf_topk green r02+r04;
 # dedup_components r03+r04) and three single-green-r04 rows chosen for
 # the strongest pytest backstops (sample_split_assign's md5-bucket
 # ranges, text_char_entropy's planted known-entropy values,
 # sample_mixture's bit-exact quota arithmetic,
-# a10_histogram_percentiles' error-bound + mergeability pins).
+# a10_histogram_percentiles' error-bound + mergeability pins,
+# decontaminate_semantic's paraphrase/tie/self-flag semantics).
 DRIVER_CHECKED: tuple[str, ...] = (
     "stream_replay_equals_batch",
     "curate_url_blocklist",
@@ -1781,6 +1828,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sample_weighted",
     "html_link_graph",
     "html_anchor_signals",
+    "curate_robots_filter",
     # -- last green r03 -------------------------------------------------
     "text_lang_id",
     "text_fingerprint",
@@ -1821,7 +1869,6 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "bpe_encode",
     "dedup_substring_runs",
     "dedup_substring_trim",
-    "decontaminate_semantic",
     "search_bm25",
     "curation_funnel",
     "monitor_rate_anomalies",
@@ -1832,6 +1879,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # of the round-5 window per the note above); all stay pytest-oracled at
 # three SFs (tests/test_entry_contract.py runs the FULL map).
 LONG_GREEN_TAIL: tuple[str, ...] = (
+    "decontaminate_semantic",
     "a10_histogram_percentiles",
     "text_char_entropy",
     "sample_mixture",
@@ -1885,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": sample_weighted,
         "html_link_graph": html_link_graph,
         "html_anchor_signals": html_anchor_signals,
+        "curate_robots_filter": curate_robots_filter,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -2976,6 +3025,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
                min(src) AS min_src
         FROM l GROUP BY 1
+    """
+    d["curate_robots_filter"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'm' || (doc_id // 20) || '.ads.net'
+                      ELSE 'h' || (doc_id // 20) || '.example.com'
+                 END AS host,
+                 '/p/' || doc_id AS path
+          FROM documents
+        ), r AS (
+          SELECT 'h' || k || '.example.com' AS host,
+                 v.pp AS path_prefix, v.al AS allow
+          FROM (SELECT DISTINCT doc_id // 20 AS k FROM documents) t,
+               (VALUES ('/p/', false), ('/p/1', true)) AS v(pp, al)
+          WHERE k % 3 = 0
+        ), m AS (
+          SELECT u.doc_id, r.allow,
+                 row_number() OVER (
+                   PARTITION BY u.doc_id
+                   ORDER BY length(r.path_prefix) DESC, r.allow DESC,
+                            r.path_prefix DESC
+                 ) AS rn
+          FROM u JOIN r
+            ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+        )
+        SELECT u.doc_id, u.host, u.path,
+               coalesce(m.allow, true) AS allowed
+        FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
     """
     d["html_anchor_signals"] = """
         WITH p AS (

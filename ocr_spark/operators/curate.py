@@ -757,3 +757,62 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion evaluation with RFC 9309 longest-match
+    semantics — the per-URL allow/deny gate every polite crawl pipeline
+    applies between frontier and fetch. ``rules`` holds one row per
+    (domain, path_prefix, allow) directive (the parsed form of each
+    host's robots.txt); a URL is governed by the longest matching
+    prefix among its host's rules, allow winning prefix-length ties
+    (RFC 9309 §2.2.2), default-allow when no rule matches.
+
+    Scale shape: rules are robots.txt-sized (KBs/host) — broadcast
+    hash join on the host, prefix filter, then the winner is ONE keyed
+    max(struct(prefix_len, allow, path_prefix)) aggregate with map-side
+    combine; no window over the URL partition, so a host with 10^9
+    frontier URLs costs combiner cells, not a task-local sort. The
+    struct tie-break is total (prefix string last), so the verdict is
+    deterministic and partition-invariant.
+
+    Returns the input rows plus (host, path, allowed boolean).
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+        )
+    )
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    u = urls.withColumn("host", F.regexp_replace(host, ":[0-9]+$", "")) \
+        .withColumn("path", path)
+    r = rules.select(
+        F.lower(F.col("domain")).alias("host"),
+        F.col("path_prefix"),
+        F.col("allow").cast("boolean").alias("allow"),
+    )
+    matched = (
+        u.join(F.broadcast(r), "host")
+        .filter(F.col("path").startswith(F.col("path_prefix")))
+        .groupBy(*u.columns)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("path_prefix").alias("l"),
+                    F.col("allow").alias("a"),
+                    F.col("path_prefix").alias("p"),
+                )
+            ).alias("win")
+        )
+        .select(*u.columns, F.col("win.a").alias("allowed"))
+    )
+    return (
+        u.join(matched, u.columns, "left")
+        .withColumn("allowed", F.coalesce("allowed", F.lit(True)))
+    )

@@ -642,3 +642,38 @@ def test_shard_assign_python_reference(spark):
         for pos, (_, i) in enumerate(sorted(members), start=1):
             want.add((i, shard, pos))
     assert got == want
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from ocr_spark.operators.curate import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/p/x"),       # /p/ disallow wins (len 3)
+            (2, "https://a.com/p/1/sub"),   # /p/1 allow wins (len 4)
+            (3, "https://a.com/q"),         # only '' matches -> allow
+            (4, "https://a.com/t/z"),       # tie len: allow beats deny
+            (5, "https://b.com/p/x"),       # no rules -> default allow
+            (6, "https://A.COM:8443/p/x"),  # case-fold + port strip
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "", True),
+            ("a.com", "/p/", False),
+            ("a.com", "/p/1", True),
+            ("a.com", "/t/", False),
+            ("A.com", "/t/", True),   # same length as the deny rule
+        ],
+        "domain string, path_prefix string, allow boolean",
+    )
+    out = {r["doc_id"]: (r["host"], r["path"], r["allowed"])
+           for r in robots_filter(urls, rules).collect()}
+    assert out[1] == ("a.com", "/p/x", False)
+    assert out[2] == ("a.com", "/p/1/sub", True)
+    assert out[3] == ("a.com", "/q", True)
+    assert out[4] == ("a.com", "/t/z", True)   # allow wins the tie
+    assert out[5] == ("b.com", "/p/x", True)
+    assert out[6] == ("a.com", "/p/x", False)
+    assert len(out) == 6  # exactly one verdict per input row
