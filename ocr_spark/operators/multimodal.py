@@ -298,3 +298,127 @@ def audio_features(media: DataFrame) -> DataFrame:
     auds = media.filter(F.col("kind") == "audio").select(
         "asset_id", "payload")
     return auds.mapInPandas(_feat, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# perceptual image hashing: LAION-style near-dup dedup for media columns
+# --------------------------------------------------------------------------
+
+def phash64(img: np.ndarray, grid: int = 32, block: int = 8) -> int:
+    """64-bit DCT perceptual hash of a grayscale image (the classic
+    pHash: mean-pool to ``grid``x``grid``, 2-D DCT-II, keep the
+    low-frequency ``block``x``block`` corner minus the DC term, bit =
+    coefficient > median). Perceptually-near images (noise, mild
+    degradation, recompression) land within a few bits; different
+    content lands ~32 bits apart (random-bit regime). Pure numpy — the
+    DCT is two small matrix multiplies, no scipy.
+    """
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("phash64 expects a non-empty 2-D grayscale array")
+    h, w = a.shape
+    # mean-pool to grid x grid via integral-image box sums (exact for
+    # any size, no interpolation kernel to disagree about)
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = a.cumsum(0).cumsum(1)
+    box = (ii[ys[1:, None], xs[None, 1:]] - ii[ys[:-1, None], xs[None, 1:]]
+           - ii[ys[1:, None], xs[None, :-1]]
+           + ii[ys[:-1, None], xs[None, :-1]])
+    area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+    small = box / np.maximum(area, 1)
+    # orthonormal DCT-II matrix
+    n = grid
+    k = np.arange(n)
+    dct = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct *= np.sqrt(2.0 / n)
+    dct[0] /= np.sqrt(2.0)
+    freq = dct @ small @ dct.T
+    lo = freq[:block, :block].flatten()[1:]  # drop the DC term
+    med = np.median(lo)
+    bits = lo > med
+    out = 0
+    for b in bits[:64]:
+        out = (out << 1) | int(b)
+    return out
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def phash_blobs(media: DataFrame) -> DataFrame:
+    """(media_ref, width, height, pixels) -> (media_ref, phash):
+    Arrow-batched hash extraction; pixels never shuffle (the hash is
+    computed where the blob lives, 8 bytes per image leave the stage)."""
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, w, h, px in zip(pdf["media_ref"], pdf["width"],
+                                     pdf["height"], pdf["pixels"]):
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                # map through int64 domain: Spark longs are signed
+                v = phash64(img)
+                rows.append((ref, v - (1 << 64) if v >= (1 << 63) else v))
+            yield pd.DataFrame(rows, columns=["media_ref", "phash"])
+
+    return media.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash distance, with
+    LSH-style band bucketing so the candidate set is NEVER all-pairs:
+    a 64-bit hash splits into ``n_bands`` contiguous bands; two images
+    within ``max_hamming`` bits must agree EXACTLY on at least one band
+    whenever max_hamming < n_bands (pigeonhole — the same guarantee the
+    SimHash dedup in operators/dedup.py uses), so the self-join runs on
+    (band_idx, band_value) keys and only bucket-mates pay the xor +
+    bit_count verify. All Catalyst after the 8-byte hash extraction.
+
+    Returns (a, b, hamming) with a < b, distinct pairs.
+    """
+    if not 0 < n_bands <= 8:
+        raise ValueError("n_bands must be in 1..8")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < n_bands"
+        )
+    width = 64 // n_bands
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(F.col("phash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ])
+    )
+    banded = hashes.select(
+        F.col("media_ref").alias("id"), "phash", bands.alias("band")
+    ).select("id", "phash", "band.band_idx", "band.band_val")
+    left = banded.select(
+        F.col("id").alias("a"), F.col("phash").alias("ha"),
+        "band_idx", "band_val",
+    )
+    right = banded.select(
+        F.col("id").alias("b"), F.col("phash").alias("hb"),
+        "band_idx", "band_val",
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("long")
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

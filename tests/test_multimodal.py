@@ -145,3 +145,91 @@ def test_payload_bytes_pruned_from_metadata_scans(spark, media, tmp_path):
     assert schemas and all("payload" not in s for s in schemas), plan
     # nested pruning: only duration_ms survives from the meta struct
     assert "duration_ms" in schemas[0] and "sample_rate" not in schemas[0]
+
+
+def test_phash64_matches_naive_reference():
+    """phash64's pooled-DCT pipeline vs an independent naive
+    implementation (direct nested-loop DCT on the pooled image)."""
+    import numpy as np
+
+    from ocr_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(7)
+    img = (rng.random((40, 72)) * 255).astype(np.uint8)
+
+    # naive reference
+    grid, block = 32, 8
+    h, w = img.shape
+    small = np.zeros((grid, grid))
+    ys = [(i * h) // grid for i in range(grid + 1)]
+    xs = [(i * w) // grid for i in range(grid + 1)]
+    for i in range(grid):
+        for j in range(grid):
+            cell = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            small[i, j] = cell.mean() if cell.size else 0.0
+    freq = np.zeros((grid, grid))
+    for u in range(block):
+        for v in range(block):
+            cu = np.sqrt(1.0 / grid) if u == 0 else np.sqrt(2.0 / grid)
+            cv = np.sqrt(1.0 / grid) if v == 0 else np.sqrt(2.0 / grid)
+            s = 0.0
+            for x in range(grid):
+                for y in range(grid):
+                    s += (small[x, y]
+                          * np.cos((2 * x + 1) * u * np.pi / (2 * grid))
+                          * np.cos((2 * y + 1) * v * np.pi / (2 * grid)))
+            freq[u, v] = cu * cv * s
+    lo = freq[:block, :block].flatten()[1:]
+    med = np.median(lo)
+    want = 0
+    for b in (lo > med)[:64]:
+        want = (want << 1) | int(b)
+    assert phash64(img) == want
+
+
+def test_phash_neardup_pairs_planted(spark):
+    """Rendered pages + speckled twins: the band-bucketed pair join
+    finds exactly the planted near-dups — no all-pairs scan, no false
+    positives across different page contents."""
+    import random
+
+    import pandas as pd
+
+    from ocr_spark.fonts import render_text
+    from ocr_spark.operators.multimodal import (
+        phash_blobs,
+        phash_neardup_pairs,
+    )
+    from ocr_spark.preprocess import add_speckles
+
+    texts = {
+        "a": "alpha beta gamma delta\nepsilon zeta eta theta",
+        "b": "the quick brown fox jumps over\nthe lazy dog again today",
+        "c": "numbers 0123 4567 89 mixed\nwith words and spaces here",
+        "d": "completely unrelated content\nfills this final page now",
+    }
+    rows = []
+    for seed, (ref, t) in enumerate(sorted(texts.items())):
+        img = render_text(t)
+        rows.append((ref, img.shape[1], img.shape[0], img.tobytes()))
+        sp = add_speckles(img, random.Random(100 + seed), 1)
+        rows.append(("v" + ref, sp.shape[1], sp.shape[0], sp.tobytes()))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows,
+                     columns=["media_ref", "width", "height", "pixels"]),
+    )
+    hashes = phash_blobs(media)
+    pairs = {(r["a"], r["b"])
+             for r in phash_neardup_pairs(hashes, max_hamming=6,
+                                          n_bands=8).collect()}
+    assert pairs == {(k, "v" + k) for k in texts}
+
+
+def test_phash_neardup_rejects_bad_band_config(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.multimodal import phash_neardup_pairs
+
+    df = spark.createDataFrame([("x", 1)], "media_ref string, phash long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup_pairs(df, max_hamming=4, n_bands=4)
