@@ -344,3 +344,55 @@ def test_url_dedup_single_exchange_no_python(spark):
     plan = executed_plan(df)
     assert exchange_count(df) == 1, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_top_ngrams_takeordered_no_global_sort(spark):
+    """Corpus top-k n-grams must plan as TakeOrderedAndProject (local
+    k-heaps + driver merge) over ONE map-side-combined aggregate —
+    never a global Sort, never a Window, never Python."""
+    df = entry_mod.text_top_ngrams(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert exchange_count(df) == 1, plan
+
+
+def test_weighted_sample_takeordered_no_global_sort(spark):
+    """Efraimidis-Spirakis selection is per-row Catalyst arithmetic +
+    TakeOrdered: no shuffle at all before the k-heap merge."""
+    df = entry_mod.sample_weighted(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert exchange_count(df) == 0, plan
+
+
+def test_shard_assign_single_exchange(spark):
+    """Shard export shuffles ONCE on the shard key; the in-shard rank
+    is a window over that same partitioning (no second exchange)."""
+    df = entry_mod.shard_assign_rank(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_robots_rules_join_is_broadcast(spark):
+    """The robots gate joins frontier URLs to robots.txt-sized rules:
+    both the rules join and the winner join-back must be broadcast —
+    the URL side never shuffles on a rule key."""
+    df = entry_mod.curate_robots_filter(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_incremental_dedup_no_python_single_probe(spark):
+    """Incremental ingest dedup is ONE join probe of history
+    fingerprints — no Python, no window."""
+    df = entry_mod.dedup_incremental_q(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "Window" not in plan, plan
