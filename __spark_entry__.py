@@ -1797,6 +1797,33 @@ def curate_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "path", "allowed")
 
 
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the EXTRACTED crawl link graph — the composition
+    that closes the loop: html_link_graph's synth edges (next-link,
+    far-link, hot hub back-link) feed operators/graph.pagerank's exact
+    integer nano-unit iteration. Hub pages ((doc_id%7)*3) concentrate
+    rank; targets past the corpus edge are dangling pages, so the
+    uniform redistribution path runs every iteration. BIT-EXACT against
+    the parameterized unrolled-CTE oracle."""
+    from ocr_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = (
+        docs.select(d.alias("src"), (d + 11).alias("dst"))
+        .unionByName(docs.select(d.alias("src"), (d + 23).alias("dst")))
+        .unionByName(
+            docs.select(d.alias("src"), ((d % 7) * 3).alias("dst")))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return pagerank(nodes, edges, iters=3)
+
+
 # The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
 DRIVER_CAP = 50
 
@@ -1806,19 +1833,21 @@ DRIVER_CAP = 50
 # evidence need, computed from CORRECTNESS_r01..r04:
 #   1. never driver-checked (the round-5 additions: streaming replay,
 #      URL blocklist, top-ngrams, shard export, incremental dedup,
-#      weighted sampling, link graph, anchor signals, robots gate);
+#      weighted sampling, link graph, anchor signals, robots gate,
+#      link-graph PageRank);
 #   2. the 25 rows whose LAST driver green is r03 (rotated past the cap
 #      in round 4 under the documented long-green policy);
 #   3. round-4 additions whose ONLY green round is r04 (a second
 #      consecutive green is the strongest remaining evidence gain).
-# Rotated to the tail to make room for the eight new round-5 rows: the
+# Rotated to the tail to make room for the nine new round-5 rows: the
 # three two-green rows (emb_neardup_lsh / ann_ivf_topk green r02+r04;
 # dedup_components r03+r04) and three single-green-r04 rows chosen for
 # the strongest pytest backstops (sample_split_assign's md5-bucket
 # ranges, text_char_entropy's planted known-entropy values,
 # sample_mixture's bit-exact quota arithmetic,
 # a10_histogram_percentiles' error-bound + mergeability pins,
-# decontaminate_semantic's paraphrase/tie/self-flag semantics).
+# decontaminate_semantic's paraphrase/tie/self-flag semantics,
+# sketch_distinct_tokens' 4-sigma error + trim-losslessness pins).
 DRIVER_CHECKED: tuple[str, ...] = (
     "stream_replay_equals_batch",
     "curate_url_blocklist",
@@ -1829,6 +1858,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "html_link_graph",
     "html_anchor_signals",
     "curate_robots_filter",
+    "link_pagerank",
     # -- last green r03 -------------------------------------------------
     "text_lang_id",
     "text_fingerprint",
@@ -1863,7 +1893,6 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "curate_domain_cap",
     "ann_ivf_trained_topk",
     "semantic_dedup",
-    "sketch_distinct_tokens",
     "graph_pagerank",
     "nb_quality_classifier",
     "bpe_encode",
@@ -1879,6 +1908,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # of the round-5 window per the note above); all stay pytest-oracled at
 # three SFs (tests/test_entry_contract.py runs the FULL map).
 LONG_GREEN_TAIL: tuple[str, ...] = (
+    "sketch_distinct_tokens",
     "decontaminate_semantic",
     "a10_histogram_percentiles",
     "text_char_entropy",
@@ -1934,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_graph": html_link_graph,
         "html_anchor_signals": html_anchor_signals,
         "curate_robots_filter": curate_robots_filter,
+        "link_pagerank": link_pagerank,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -2730,12 +2761,14 @@ def _semantic_dedup_oracle(tau: float, num_centroids: int = 16,
     """
 
 
-def _graph_pagerank_oracle(iters: int = 3) -> str:
-    """DuckDB twin of operators/graph.pagerank: the fixed iteration
-    count unrolls into dang/contrib/rank CTE triples. BIT-EXACT (no
-    rounding tolerance): every rank is a BIGINT in nano-units, every
-    scale is floor division of non-negative integers, every sum is an
-    integer sum — no floating point anywhere in either engine."""
+def _pagerank_oracle_for(nodes_sql: str, edges_sql: str,
+                         iters: int = 3) -> str:
+    """DuckDB twin of operators/graph.pagerank over ANY (nodes, edges)
+    CTE bodies: the fixed iteration count unrolls into
+    dang/contrib/rank CTE triples. BIT-EXACT (no rounding tolerance):
+    every rank is a BIGINT in nano-units, every scale is floor division
+    of non-negative integers, every sum is an integer sum — no floating
+    point anywhere in either engine."""
     from ocr_spark.operators.graph import DAMP_DEN, DAMP_NUM, UNIT
 
     teleport = (DAMP_DEN - DAMP_NUM) * UNIT // DAMP_DEN
@@ -2760,15 +2793,10 @@ def _graph_pagerank_oracle(iters: int = 3) -> str:
         )""")
     chain = ", ".join(steps)
     return f"""
-        WITH nodes AS (
-          SELECT 2 * c_custkey AS node FROM customer
-          UNION ALL
-          SELECT 2 * s_suppkey + 1 AS node FROM supplier
+        WITH nodes AS ({nodes_sql}
         ), params AS (
           SELECT count(*) AS n FROM nodes
-        ), edges AS (
-          SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS ({edges_sql}
         ), outdeg AS (
           SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
         ), r0 AS (
@@ -2776,6 +2804,43 @@ def _graph_pagerank_oracle(iters: int = 3) -> str:
         ), {chain}
         SELECT node, rank_nano FROM r{iters}
     """
+
+
+def _graph_pagerank_oracle(iters: int = 3) -> str:
+    """The trade-graph instantiation (customers even, suppliers odd)."""
+    return _pagerank_oracle_for(
+        """
+          SELECT 2 * c_custkey AS node FROM customer
+          UNION ALL
+          SELECT 2 * s_suppkey + 1 AS node FROM supplier""",
+        """
+          SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+        iters,
+    )
+
+
+def _link_pagerank_oracle(iters: int = 3) -> str:
+    """The crawl-link-graph instantiation: the html_link_graph synth
+    edges (next-link, far-link, hot hub back-link), nodes = every id
+    appearing as a source or target (targets past the corpus edge are
+    dangling pages, so the redistribution path runs every iteration)."""
+    return _pagerank_oracle_for(
+        """
+          SELECT DISTINCT node FROM (
+            SELECT doc_id AS node FROM documents
+            UNION ALL SELECT doc_id + 11 FROM documents
+            UNION ALL SELECT doc_id + 23 FROM documents
+            UNION ALL SELECT (doc_id % 7) * 3 FROM documents
+          )""",
+        """
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, doc_id + 11 AS dst FROM documents
+            UNION ALL SELECT doc_id, doc_id + 23 FROM documents
+            UNION ALL SELECT doc_id, (doc_id % 7) * 3 FROM documents
+          )""",
+        iters,
+    )
 
 
 # Shared CTE chain for the exact-substring family (Lee et al. 2022):
@@ -3773,6 +3838,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(SEMDEDUP_TAU),
         "sketch_distinct_tokens": _sketch_distinct_tokens_oracle(),
         "graph_pagerank": _graph_pagerank_oracle(),
+        "link_pagerank": _link_pagerank_oracle(),
         "nb_quality_classifier": _nb_quality_classifier_oracle(),
         "bpe_encode": _bpe_encode_oracle(3),
         "dedup_substring_runs": _SUBSTRING_RUNS_CHAIN + """
