@@ -3080,8 +3080,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), l AS (
           SELECT doc_id AS src,
-                 unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
-                   AS href
+                 unnest(regexp_extract_all(
+                   html, '<a\\b[^>]*href="([^"]*)"', 1)) AS href
           FROM p
         )
         SELECT CAST(regexp_extract(href, '/doc/([0-9]+)', 1) AS BIGINT)

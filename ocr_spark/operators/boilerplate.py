@@ -53,12 +53,15 @@ def extract_links(
     Returns (src, pos, href): source id, 0-based anchor position in the
     page, raw href value. Callers canonicalize/resolve hrefs and build
     degree aggregates on top (see the html_link_graph driver query).
+    The pattern anchors on the ``<a`` tag itself, so href attributes of
+    non-anchor elements (``<link>``, ``<area>``, ``<base>``) are not
+    links and do not leak into the graph.
     """
     return pages.select(
         F.col(id_col).alias("src"),
         F.posexplode(
             F.regexp_extract_all(
-                F.col(html_col), F.lit('href="([^"]*)"'), 1
+                F.col(html_col), F.lit('<a\\b[^>]*href="([^"]*)"'), 1
             )
         ).alias("pos", "href"),
     )

@@ -49,6 +49,8 @@ def test_extract_links_order_and_empty_pages(spark):
             (1, '<a href="/x">one</a><p>mid</p><a href="https://e.com/y?a=1">two</a>'),
             (2, "<p>no anchors at all</p>"),
             (3, '<img src="/not-a-link.png"><a href="">empty</a>'),
+            (4, '<link href="/style.css" rel="stylesheet">'
+                '<base href="/root/">no anchor hrefs here'),
         ],
         "doc_id long, html string",
     )
@@ -58,7 +60,7 @@ def test_extract_links_order_and_empty_pages(spark):
         (1, 0, "/x"),
         (1, 1, "https://e.com/y?a=1"),
         (3, 0, ""),
-    ]  # page 2 emits nothing; src= attributes are not anchors
+    ]  # pages 2/4 emit nothing; src=/<link>/<base> hrefs are not links
 
 
 def test_extract_anchor_texts_pairing_stays_synchronized(spark):
