@@ -1824,6 +1824,74 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, edges, iters=3)
 
 
+def crawl_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-side capstone COMPOSITION — next-fetch selection from
+    the full gate chain, one plan: candidate URLs pass the
+    domain-blocklist (suffix semantics), then the robots gate (RFC 9309
+    longest-match), survivors join their page's link-graph PageRank
+    (exact nano-unit ranks), and a per-host retention cap (two-phase
+    salted top-2 by rank) bounds any single host's share of the fetch
+    budget. Every stage is an already-oracled operator; the oracle
+    composes their CTEs, so exactness is inherited (the
+    curation_funnel pattern on the crawl side)."""
+    from ocr_spark.operators.curate import (
+        cap_per_group,
+        robots_filter,
+        url_blocklist_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit("m"), (d / 20).cast("long").cast("string"),
+                         F.lit(".ads.net")),
+            ).otherwise(
+                F.concat(F.lit("h"), (d / 20).cast("long").cast("string"),
+                         F.lit(".example.com")),
+            ),
+            F.lit("/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("ads.net",), ("h1.example.com",), ("H4.example.com",)],
+        "domain string",
+    )
+    ks = docs.select((d / 20).cast("long").alias("k")).distinct()
+    rules = (
+        ks.filter((F.col("k") % 3) == 0)
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string"),
+                     F.lit(".example.com")).alias("domain"),
+            F.explode(F.array(
+                F.struct(F.lit("/p/").alias("path_prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/p/1").alias("path_prefix"),
+                         F.lit(True).alias("allow")),
+            )).alias("rule"),
+        )
+        .select("domain", "rule.path_prefix", "rule.allow")
+    )
+    gated = robots_filter(
+        url_blocklist_filter(urls, blocklist)
+        .filter(~F.col("blocked")).select("doc_id", "url"),
+        rules,
+    ).filter(F.col("allowed")).select("doc_id", "host")
+    ranks = link_pagerank(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "rank_nano"
+    )
+    frontier = gated.join(ranks, "doc_id")
+    return cap_per_group(
+        frontier, group_col="host", order_col="rank_nano",
+        id_col="doc_id", k=2,
+    ).select("doc_id", "host", "rank_nano", "rank")
+
+
 # The correctness driver oracles the FIRST ``DRIVER_CAP`` registry rows.
 DRIVER_CAP = 50
 
@@ -1834,12 +1902,12 @@ DRIVER_CAP = 50
 #   1. never driver-checked (the round-5 additions: streaming replay,
 #      URL blocklist, top-ngrams, shard export, incremental dedup,
 #      weighted sampling, link graph, anchor signals, robots gate,
-#      link-graph PageRank);
+#      link-graph PageRank, frontier composition);
 #   2. the 25 rows whose LAST driver green is r03 (rotated past the cap
 #      in round 4 under the documented long-green policy);
 #   3. round-4 additions whose ONLY green round is r04 (a second
 #      consecutive green is the strongest remaining evidence gain).
-# Rotated to the tail to make room for the nine new round-5 rows: the
+# Rotated to the tail to make room for the ten new round-5 rows: the
 # three two-green rows (emb_neardup_lsh / ann_ivf_topk green r02+r04;
 # dedup_components r03+r04) and three single-green-r04 rows chosen for
 # the strongest pytest backstops (sample_split_assign's md5-bucket
@@ -1847,7 +1915,8 @@ DRIVER_CAP = 50
 # sample_mixture's bit-exact quota arithmetic,
 # a10_histogram_percentiles' error-bound + mergeability pins,
 # decontaminate_semantic's paraphrase/tie/self-flag semantics,
-# sketch_distinct_tokens' 4-sigma error + trim-losslessness pins).
+# sketch_distinct_tokens' 4-sigma error + trim-losslessness pins,
+# bpe_encode's monotone-under-merges + whitespace pins).
 DRIVER_CHECKED: tuple[str, ...] = (
     "stream_replay_equals_batch",
     "curate_url_blocklist",
@@ -1859,6 +1928,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "html_anchor_signals",
     "curate_robots_filter",
     "link_pagerank",
+    "crawl_frontier_rank",
     # -- last green r03 -------------------------------------------------
     "text_lang_id",
     "text_fingerprint",
@@ -1895,7 +1965,6 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "semantic_dedup",
     "graph_pagerank",
     "nb_quality_classifier",
-    "bpe_encode",
     "dedup_substring_runs",
     "dedup_substring_trim",
     "search_bm25",
@@ -1908,6 +1977,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # of the round-5 window per the note above); all stay pytest-oracled at
 # three SFs (tests/test_entry_contract.py runs the FULL map).
 LONG_GREEN_TAIL: tuple[str, ...] = (
+    "bpe_encode",
     "sketch_distinct_tokens",
     "decontaminate_semantic",
     "a10_histogram_percentiles",
@@ -1965,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_anchor_signals": html_anchor_signals,
         "curate_robots_filter": curate_robots_filter,
         "link_pagerank": link_pagerank,
+        "crawl_frontier_rank": crawl_frontier_rank,
         "dedup_components_bigstar": dedup_components_bigstar,
         "dedup_cluster_keep_best": dedup_cluster_keep_best,
         "text_line_dedup": text_line_dedup,
@@ -3119,6 +3190,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT u.doc_id, u.host, u.path,
                coalesce(m.allow, true) AS allowed
         FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+    """
+    d["crawl_frontier_rank"] = f"""
+        WITH pr AS ({_link_pagerank_oracle()}),
+        u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'm' || (doc_id // 20) || '.ads.net'
+                      ELSE 'h' || (doc_id // 20) || '.example.com'
+                 END AS host,
+                 '/p/' || doc_id AS path
+          FROM documents
+        ), nb AS (
+          SELECT * FROM u
+          WHERE NOT (host = 'ads.net' OR host LIKE '%.ads.net'
+                     OR host = 'h1.example.com'
+                     OR host = 'h4.example.com')
+        ), rr AS (
+          SELECT 'h' || k || '.example.com' AS host,
+                 v.pp AS path_prefix, v.al AS allow
+          FROM (SELECT DISTINCT doc_id // 20 AS k FROM documents) t,
+               (VALUES ('/p/', false), ('/p/1', true)) AS v(pp, al)
+          WHERE k % 3 = 0
+        ), m AS (
+          SELECT nb.doc_id, rr.allow,
+                 row_number() OVER (
+                   PARTITION BY nb.doc_id
+                   ORDER BY length(rr.path_prefix) DESC, rr.allow DESC,
+                            rr.path_prefix DESC
+                 ) AS rn
+          FROM nb JOIN rr
+            ON nb.host = rr.host AND starts_with(nb.path, rr.path_prefix)
+        ), g AS (
+          SELECT nb.doc_id, nb.host
+          FROM nb LEFT JOIN m ON m.doc_id = nb.doc_id AND m.rn = 1
+          WHERE coalesce(m.allow, true)
+        ), f AS (
+          SELECT g.doc_id, g.host, pr.rank_nano,
+                 row_number() OVER (
+                   PARTITION BY g.host
+                   ORDER BY pr.rank_nano DESC, g.doc_id ASC
+                 ) AS rnk
+          FROM g JOIN pr ON pr.node = g.doc_id
+        )
+        SELECT doc_id, host, rank_nano, CAST(rnk AS BIGINT) AS rank
+        FROM f WHERE rnk <= 2
     """
     d["html_anchor_signals"] = """
         WITH p AS (
