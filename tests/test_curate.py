@@ -677,3 +677,42 @@ def test_robots_filter_longest_match_semantics(spark):
     assert out[5] == ("b.com", "/p/x", True)
     assert out[6] == ("a.com", "/p/x", False)
     assert len(out) == 6  # exactly one verdict per input row
+
+
+def test_robots_filter_randomized_python_reference(spark):
+    """200 seeded random URLs x random rule tables vs a pure-Python
+    RFC 9309 longest-match evaluator (allow wins length ties)."""
+    import numpy as np
+
+    from ocr_spark.operators.curate import robots_filter
+
+    rng = np.random.default_rng(73)
+    hosts = [f"h{i}.site{i % 3}.net" for i in range(6)]
+    paths = ["/", "/a", "/a/b", "/a/bc", "/b", "/b/x/y", "/ab"]
+    urls = [
+        (i, f"https://{rng.choice(hosts)}{rng.choice(paths)}")
+        for i in range(200)
+    ]
+    rules = []
+    for h in hosts[:4]:  # hosts 4-5 stay ruleless (default allow)
+        for _ in range(rng.integers(1, 5)):
+            rules.append((h, str(rng.choice(["", "/a", "/a/b", "/b", "/ab"])),
+                          bool(rng.integers(0, 2))))
+    rules = sorted(set(rules))
+
+    def py_verdict(host, path):
+        cands = [(len(p), al, p) for (h, p, al) in rules
+                 if h == host and path.startswith(p)]
+        if not cands:
+            return True
+        return max(cands)[1]
+
+    out = robots_filter(
+        spark.createDataFrame(urls, "doc_id long, url string"),
+        spark.createDataFrame(
+            rules, "domain string, path_prefix string, allow boolean"),
+    ).collect()
+    assert len(out) == 200
+    for r in out:
+        assert r["allowed"] == py_verdict(r["host"], r["path"]), \
+            (r["host"], r["path"])
